@@ -1,0 +1,250 @@
+"""ERFNet segmentation model — TPU-native functional rebuild.
+
+Capability parity with the reference's ``train/erfnet.py`` (and its eval/
+duplicate; SURVEY.md §2a row 1): DownsamplerBlock, non_bottleneck_1d,
+Encoder (1 + 16 blocks + 1x1 head), UpsamplerBlock, Decoder, Net with
+``only_encode`` / encoder-predict modes.
+
+Architecture (reference math, shape-verified vs torch-cpu):
+  Encoder:  Down(3,16) -> Down(16,64) -> 5x NB1d(64, p=.03, d=1)
+            -> Down(64,128) -> 2x [NB1d(128,.3,2), (.,4), (.,8), (.,16)]
+            [predict: 1x1 conv -> num_classes at 1/8 resolution]
+  Decoder:  Up(128,64) -> 2x NB1d(64,0,1) -> Up(64,16) -> 2x NB1d(16,0,1)
+            -> ConvTranspose(16, C, k2 s2)  (full resolution)
+
+TPU-first design choices (NOT a port):
+  * NHWC; params/batch_stats are plain pytrees; apply() is pure and jittable.
+  * Python-level block loop unrolls at trace time (27 convs — fine for XLA).
+  * The hot 128-channel dilated NB1d blocks can run through a fused Pallas
+    kernel at inference (see ops/pallas/nb1d.py); XLA path is the fallback
+    and the parity oracle.
+  * Dropout2d RNG is derived per-block via fold_in — deterministic under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import (conv2d, conv_transpose2d, max_pool2d, init_conv,
+                        init_conv_transpose)
+from ..ops.batchnorm import batch_norm, init_batch_norm
+from ..ops.dropout import dropout2d
+
+BN_EPS = 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Block definitions.  Each block: init(key) -> (params, state),
+# apply(params, state, x, ...) -> (y, new_state).
+# ---------------------------------------------------------------------------
+
+def init_downsampler(key, cin, cout):
+    kc, kb = jax.random.split(key)
+    conv = init_conv(kc, 3, 3, cin, cout - cin)
+    bnp, bns = init_batch_norm(cout)
+    return {"conv": conv, "bn": bnp}, {"bn": bns}
+
+
+def apply_downsampler(params, state, x, *, train, compute_dtype=None):
+    # cat[conv(cin -> cout-cin, k3 s2 p1), maxpool2](x) -> BN -> relu
+    y = conv2d(x, params["conv"]["w"], params["conv"]["b"], stride=2,
+               padding=1, compute_dtype=compute_dtype)
+    p = max_pool2d(x, 2, 2).astype(y.dtype)
+    y = jnp.concatenate([y, p], axis=-1)
+    y, bns = batch_norm(y, params["bn"], state["bn"], train=train, eps=BN_EPS)
+    return jax.nn.relu(y), {"bn": bns}
+
+
+def init_non_bottleneck_1d(key, c):
+    k = jax.random.split(key, 6)
+    p = {
+        "conv3x1_1": init_conv(k[0], 3, 1, c, c),
+        "conv1x3_1": init_conv(k[1], 1, 3, c, c),
+        "conv3x1_2": init_conv(k[2], 3, 1, c, c),
+        "conv1x3_2": init_conv(k[3], 1, 3, c, c),
+    }
+    bn1p, bn1s = init_batch_norm(c)
+    bn2p, bn2s = init_batch_norm(c)
+    p["bn1"], p["bn2"] = bn1p, bn2p
+    return p, {"bn1": bn1s, "bn2": bn2s}
+
+
+def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
+                            rng=None, compute_dtype=None):
+    y = conv2d(x, params["conv3x1_1"]["w"], params["conv3x1_1"]["b"],
+               padding=(1, 0), compute_dtype=compute_dtype)
+    y = jax.nn.relu(y)
+    y = conv2d(y, params["conv1x3_1"]["w"], params["conv1x3_1"]["b"],
+               padding=(0, 1), compute_dtype=compute_dtype)
+    y, bn1s = batch_norm(y, params["bn1"], state["bn1"], train=train,
+                         eps=BN_EPS)
+    y = jax.nn.relu(y)
+    y = conv2d(y, params["conv3x1_2"]["w"], params["conv3x1_2"]["b"],
+               padding=(dilated, 0), dilation=(dilated, 1),
+               compute_dtype=compute_dtype)
+    y = jax.nn.relu(y)
+    y = conv2d(y, params["conv1x3_2"]["w"], params["conv1x3_2"]["b"],
+               padding=(0, dilated), dilation=(1, dilated),
+               compute_dtype=compute_dtype)
+    y, bn2s = batch_norm(y, params["bn2"], state["bn2"], train=train,
+                         eps=BN_EPS)
+    if train and dropprob > 0:
+        y = dropout2d(rng, y, dropprob, train=True)
+    y = jax.nn.relu(y + x.astype(y.dtype))
+    return y, {"bn1": bn1s, "bn2": bn2s}
+
+
+def init_upsampler(key, cin, cout):
+    conv = init_conv_transpose(key, 3, 3, cin, cout)
+    bnp, bns = init_batch_norm(cout)
+    return {"conv": conv, "bn": bnp}, {"bn": bns}
+
+
+def apply_upsampler(params, state, x, *, train, compute_dtype=None):
+    y = conv_transpose2d(x, params["conv"]["w"], params["conv"]["b"],
+                         stride=2, padding=1, output_padding=1,
+                         compute_dtype=compute_dtype)
+    y, bns = batch_norm(y, params["bn"], state["bn"], train=train, eps=BN_EPS)
+    return jax.nn.relu(y), {"bn": bns}
+
+
+# ---------------------------------------------------------------------------
+# Encoder / Decoder / Net.  Layer specs are static python structures — the
+# pytree for `layers` is a list whose entries mirror torch's ModuleList
+# indices (load-bearing for checkpoint name mapping, SURVEY.md §2a row 12).
+# ---------------------------------------------------------------------------
+
+# (kind, args) — kind in {"down", "nb1d"}; nb1d args = (channels, drop, dil)
+ENCODER_LAYER_SPECS: List[Tuple[str, tuple]] = (
+    [("down", (16, 64))]
+    + [("nb1d", (64, 0.03, 1))] * 5
+    + [("down", (64, 128))]
+    + [("nb1d", (128, 0.3, d)) for _ in range(2) for d in (2, 4, 8, 16)]
+)
+
+DECODER_LAYER_SPECS: List[Tuple[str, tuple]] = [
+    ("up", (128, 64)),
+    ("nb1d", (64, 0.0, 1)),
+    ("nb1d", (64, 0.0, 1)),
+    ("up", (64, 16)),
+    ("nb1d", (16, 0.0, 1)),
+    ("nb1d", (16, 0.0, 1)),
+]
+
+
+def _init_layers(key, specs):
+    params, state = [], []
+    keys = jax.random.split(key, len(specs))
+    for k, (kind, args) in zip(keys, specs):
+        if kind == "down":
+            p, s = init_downsampler(k, *args)
+        elif kind == "up":
+            p, s = init_upsampler(k, *args)
+        else:
+            p, s = init_non_bottleneck_1d(k, args[0])
+        params.append(p)
+        state.append(s)
+    return params, state
+
+
+def init_encoder(key, num_classes):
+    k0, k1, k2 = jax.random.split(key, 3)
+    ip, istate = init_downsampler(k0, 3, 16)
+    lp, lstate = _init_layers(k1, ENCODER_LAYER_SPECS)
+    params = {"initial_block": ip, "layers": lp,
+              "output_conv": init_conv(k2, 1, 1, 128, num_classes)}
+    return params, {"initial_block": istate, "layers": lstate}
+
+
+def apply_encoder(params, state, x, *, train=False, rng=None, predict=False,
+                  compute_dtype=None, layer_fn=None):
+    """layer_fn: optional override(kind, idx, params, state, x, spec) for
+    fused-kernel substitution at inference."""
+    y, is_ = apply_downsampler(params["initial_block"],
+                               state["initial_block"], x, train=train,
+                               compute_dtype=compute_dtype)
+    new_layers = []
+    for i, (kind, args) in enumerate(ENCODER_LAYER_SPECS):
+        p, s = params["layers"][i], state["layers"][i]
+        if layer_fn is not None:
+            y, ns = layer_fn(kind, i, p, s, y, args)
+        elif kind == "down":
+            y, ns = apply_downsampler(p, s, y, train=train,
+                                      compute_dtype=compute_dtype)
+        else:
+            c, drop, dil = args
+            r = jax.random.fold_in(rng, i) if (rng is not None) else None
+            y, ns = apply_non_bottleneck_1d(p, s, y, dilated=dil,
+                                            dropprob=drop, train=train,
+                                            rng=r, compute_dtype=compute_dtype)
+        new_layers.append(ns)
+    new_state = {"initial_block": is_, "layers": new_layers}
+    if predict:
+        y = conv2d(y, params["output_conv"]["w"], params["output_conv"]["b"],
+                   compute_dtype=compute_dtype)
+    return y, new_state
+
+
+def init_decoder(key, num_classes):
+    k1, k2 = jax.random.split(key)
+    lp, lstate = _init_layers(k1, DECODER_LAYER_SPECS)
+    params = {"layers": lp,
+              "output_conv": init_conv_transpose(k2, 2, 2, 16, num_classes)}
+    return params, {"layers": lstate}
+
+
+def apply_decoder(params, state, x, *, train=False, rng=None,
+                  compute_dtype=None):
+    y = x
+    new_layers = []
+    for i, (kind, args) in enumerate(DECODER_LAYER_SPECS):
+        p, s = params["layers"][i], state["layers"][i]
+        if kind == "up":
+            y, ns = apply_upsampler(p, s, y, train=train,
+                                    compute_dtype=compute_dtype)
+        else:
+            c, drop, dil = args
+            r = jax.random.fold_in(rng, 100 + i) if (rng is not None) else None
+            y, ns = apply_non_bottleneck_1d(p, s, y, dilated=dil,
+                                            dropprob=drop, train=train,
+                                            rng=r, compute_dtype=compute_dtype)
+        new_layers.append(ns)
+    y = conv_transpose2d(y, params["output_conv"]["w"],
+                         params["output_conv"]["b"], stride=2, padding=0,
+                         output_padding=0, compute_dtype=compute_dtype)
+    return y, {"layers": new_layers}
+
+
+def init(key, num_classes=20, encoder=None):
+    """Net(num_classes, encoder=...) — pass (params, state) of a pretrained
+    encoder to reproduce the reference's stage-1 -> stage-2 handoff."""
+    ke, kd = jax.random.split(key)
+    if encoder is None:
+        ep, es = init_encoder(ke, num_classes)
+    else:
+        ep, es = encoder
+    dp, ds = init_decoder(kd, num_classes)
+    return {"encoder": ep, "decoder": dp}, {"encoder": es, "decoder": ds}
+
+
+def apply(params, state, x, *, train=False, rng=None, only_encode=False,
+          compute_dtype=None, encoder_layer_fn=None):
+    """Forward pass. x: (B, H, W, 3) -> logits (B, H', W', num_classes).
+
+    only_encode=True mirrors ``Net.forward(input, only_encode=True)``:
+    encoder with its 1x1 prediction head at 1/8 resolution.
+    """
+    if only_encode:
+        return apply_encoder(params["encoder"], state["encoder"], x,
+                             train=train, rng=rng, predict=True,
+                             compute_dtype=compute_dtype,
+                             layer_fn=encoder_layer_fn)
+    y, es = apply_encoder(params["encoder"], state["encoder"], x, train=train,
+                          rng=rng, predict=False, compute_dtype=compute_dtype,
+                          layer_fn=encoder_layer_fn)
+    y, ds = apply_decoder(params["decoder"], state["decoder"], y, train=train,
+                          rng=rng, compute_dtype=compute_dtype)
+    return y, {"encoder": es, "decoder": ds}

@@ -1,0 +1,34 @@
+"""Class-weighted segmentation loss.
+
+Reference: ``train/main.py:CrossEntropyLoss2d`` = NLLLoss2d(weight) over
+log_softmax(outputs, dim=1) with per-class weights and weight[19] == 0
+masking the void class (SURVEY.md §2a rows 7-8).
+
+torch weighted-mean semantics: loss = sum_i w[t_i] * nll_i / sum_i w[t_i].
+Edge case (verified vs torch-cpu at survey time): an all-void crop makes
+torch return NaN (0/0); here the denominator is guarded.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def weighted_log_softmax_nll(logits, targets, class_weights):
+    """logits (B,H,W,C) float; targets (B,H,W) int; class_weights (C,)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    w = class_weights.astype(jnp.float32)[targets]
+    num = jnp.sum(w * nll)
+    den = jnp.sum(w)
+    return num / jnp.maximum(den, 1e-12)
+
+
+def cross_entropy(logits, targets):
+    """Plain mean CE for the ImageNet classifier head. logits (B, C)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]
+    return jnp.mean(nll)
