@@ -1,0 +1,98 @@
+"""Cityscapes dataset — directory-walking reader with the reference's
+layout conventions ({train,eval}/dataset.py — SURVEY.md §2a rows 3-4):
+
+    {datadir}/leftImg8bit/{subset}/{city}/*_leftImg8bit.png
+    {datadir}/gtFine/{subset}/{city}/*_gtFine_labelTrainIds.png
+
+Host-side work is intentionally minimal (the TPU-native split): PNG decode +
+PIL resize only; flip/translate augmentation and the 255->19 relabel run
+on-device inside the jitted train step (ops/augment.py).
+
+Resize parity: eval resizes with PIL BILINEAR (image) / NEAREST (label) at
+(height, 2*height), exactly like the reference's torchvision
+``Resize(h, BILINEAR)`` on 2:1 Cityscapes frames — PIL-level identical, which
+keeps the mIoU-parity budget (SURVEY.md §7 hard parts) intact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+EXTENSIONS = (".jpg", ".png")
+
+
+def is_image(filename: str) -> bool:
+    return filename.lower().endswith(EXTENSIONS)
+
+
+def image_basename(filename: str) -> str:
+    return os.path.basename(os.path.splitext(filename)[0])
+
+
+def load_image(path: str) -> Image.Image:
+    return Image.open(path)
+
+
+class CityscapesDataset:
+    """Indexable (image, label, relpath) source.
+
+    Returns numpy arrays: image (H, W, 3) float32 in [0, 1] (ToTensor
+    semantics), label (H, W) int32 with raw 255 void (relabel happens
+    on-device), and the leftImg8bit-relative path (for eval output naming).
+    """
+
+    def __init__(self, root: str, subset: str = "train",
+                 height: Optional[int] = 512, target_height: Optional[int] = None):
+        self.root = root
+        self.subset = subset
+        self.height = height
+        self.target_height = target_height if target_height is not None else height
+        self.images_root = os.path.join(root, "leftImg8bit", subset)
+        self.labels_root = os.path.join(root, "gtFine", subset)
+        if not os.path.isdir(self.images_root):
+            raise FileNotFoundError(
+                f"no leftImg8bit/{subset} under {root!r} — expected the "
+                "Cityscapes layout (see cityscapesScripts for "
+                "_labelTrainIds generation)")
+        self.filenames: List[str] = []
+        for dirpath, _dirs, files in sorted(os.walk(self.images_root)):
+            for f in sorted(files):
+                if is_image(f):
+                    rel = os.path.relpath(os.path.join(dirpath, f),
+                                          self.images_root)
+                    self.filenames.append(rel)
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def label_path(self, rel: str) -> str:
+        return os.path.join(
+            self.labels_root,
+            rel.replace("_leftImg8bit.png", "_gtFine_labelTrainIds.png")
+               .replace("_leftImg8bit.jpg", "_gtFine_labelTrainIds.png"))
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray, str]:
+        rel = self.filenames[idx]
+        with load_image(os.path.join(self.images_root, rel)) as img:
+            image = img.convert("RGB")
+            if self.height is not None:
+                w = image.width * self.height // image.height
+                image = image.resize((w, self.height), Image.BILINEAR)
+            image_np = np.asarray(image, dtype=np.float32) / 255.0
+
+        lp = self.label_path(rel)
+        if os.path.exists(lp):
+            with load_image(lp) as lab:
+                label = lab.convert("L")
+                if self.target_height is not None:
+                    w = label.width * self.target_height // label.height
+                    label = label.resize((w, self.target_height),
+                                         Image.NEAREST)
+                label_np = np.asarray(label, dtype=np.int32)
+        else:
+            label_np = np.full(image_np.shape[:2], 255, dtype=np.int32)
+        return image_np, label_np, rel

@@ -1,0 +1,64 @@
+"""Label / color transforms — parity with {train,eval}/transform.py
+(SURVEY.md §2a row 5) plus the server-submission inverse remap
+(eval/eval_cityscapes_server.py, row 16).
+
+TPU-native: Colorize and the trainId->labelId remap are device-side gathers
+(jnp.take), so streaming inference keeps argmax + colorization on-chip and
+only transfers uint8 images to host.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 20-entry Cityscapes trainId palette (19 classes + void=black), as
+# hardcoded in eval/transform.py:Colorize.
+CITYSCAPES_PALETTE = np.array([
+    (128, 64, 128), (244, 35, 232), (70, 70, 70), (102, 102, 156),
+    (190, 153, 153), (153, 153, 153), (250, 170, 30), (220, 220, 0),
+    (107, 142, 35), (152, 251, 152), (70, 130, 180), (220, 20, 60),
+    (255, 0, 0), (0, 0, 142), (0, 0, 70), (0, 60, 100),
+    (0, 80, 100), (0, 0, 230), (119, 11, 32), (0, 0, 0),
+], dtype=np.uint8)
+
+# Per-class names as printed by eval/eval_iou.py.
+CLASS_NAMES = [
+    "Road", "sidewalk", "building", "wall", "fence", "pole",
+    "traffic light", "traffic sign", "vegetation", "terrain", "sky",
+    "person", "rider", "car", "truck", "bus", "train", "motorcycle",
+    "cyclist",
+]
+
+# eval_cityscapes_server.py: chained Relabel trainId -> Cityscapes labelId
+# (18->33, 17->32, ..., 0->7; void 19->0).
+TRAINID_TO_LABELID = np.array(
+    [7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 31,
+     32, 33, 0], dtype=np.uint8)
+
+
+def relabel(label, olabel, nlabel):
+    """Relabel(olabel, nlabel): pointwise value replacement."""
+    return jnp.where(label == olabel, jnp.asarray(nlabel, label.dtype), label)
+
+
+def to_label(img_u8):
+    """ToLabel: uint8 label image -> int32 class map (drops channel dim)."""
+    a = jnp.asarray(img_u8)
+    if a.ndim == 3 and a.shape[-1] == 1:
+        a = a[..., 0]
+    return a.astype(jnp.int32)
+
+
+def colorize(pred, palette=None):
+    """Per-pixel palette lookup on device. pred (..., H, W) int -> uint8 RGB
+    (..., H, W, 3)."""
+    pal = jnp.asarray(CITYSCAPES_PALETTE if palette is None else palette)
+    return jnp.take(pal, pred.astype(jnp.int32), axis=0)
+
+
+def train_id_to_label_id(pred):
+    """Device-side inverse remap for Cityscapes test-server submission."""
+    return jnp.take(jnp.asarray(TRAINID_TO_LABELID), pred.astype(jnp.int32),
+                    axis=0)

@@ -1,0 +1,90 @@
+"""Data layer: directory-walk conventions, PIL resize parity, loader
+batching/prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from erfnet_pytorch_tpu.data.cityscapes import CityscapesDataset
+from erfnet_pytorch_tpu.data.loader import DataLoader
+
+
+@pytest.fixture(scope="session")
+def fake_cityscapes(tmp_path_factory):
+    """Tiny synthetic Cityscapes tree: 2:1 frames, 2 cities x 3 images per
+    split; deterministic content."""
+    root = tmp_path_factory.mktemp("cityscapes")
+    rng = np.random.RandomState(0)
+    for subset in ("train", "val"):
+        for city in ("aaa", "bbb"):
+            img_dir = root / "leftImg8bit" / subset / city
+            lab_dir = root / "gtFine" / subset / city
+            img_dir.mkdir(parents=True)
+            lab_dir.mkdir(parents=True)
+            for i in range(3):
+                stem = f"{city}_{i:06d}_000019"
+                img = rng.randint(0, 255, (128, 256, 3), dtype=np.uint8)
+                Image.fromarray(img).save(
+                    img_dir / f"{stem}_leftImg8bit.png")
+                lab = rng.randint(0, 20, (128, 256), dtype=np.uint8)
+                lab[0:8] = 255  # some void
+                Image.fromarray(lab, mode="L").save(
+                    lab_dir / f"{stem}_gtFine_labelTrainIds.png")
+    return str(root)
+
+
+def test_dataset_walk_and_shapes(fake_cityscapes):
+    ds = CityscapesDataset(fake_cityscapes, "train", height=64)
+    assert len(ds) == 6
+    img, lab, rel = ds[0]
+    assert img.shape == (64, 128, 3) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    assert lab.shape == (64, 128) and lab.dtype == np.int32
+    assert rel.endswith("_leftImg8bit.png")
+    assert 255 in lab  # void preserved raw (relabel is on-device)
+
+
+def test_dataset_resize_matches_pil(fake_cityscapes):
+    ds = CityscapesDataset(fake_cityscapes, "val", height=64)
+    img, lab, rel = ds[1]
+    p = os.path.join(ds.images_root, rel)
+    ref = np.asarray(Image.open(p).convert("RGB").resize(
+        (128, 64), Image.BILINEAR), dtype=np.float32) / 255.0
+    np.testing.assert_array_equal(img, ref)
+    lp = ds.label_path(rel)
+    ref_lab = np.asarray(Image.open(lp).convert("L").resize(
+        (128, 64), Image.NEAREST), dtype=np.int32)
+    np.testing.assert_array_equal(lab, ref_lab)
+
+
+def test_dataset_missing_root_raises(fake_cityscapes):
+    with pytest.raises(FileNotFoundError):
+        CityscapesDataset("/nonexistent/path", "train")
+
+
+def test_loader_batching(fake_cityscapes):
+    ds = CityscapesDataset(fake_cityscapes, "train", height=64)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 2 == len(dl)
+    imgs, labs, rels, n_valid = batches[0]
+    assert imgs.shape == (4, 64, 128, 3) and n_valid == 4
+    imgs, labs, rels, n_valid = batches[1]
+    assert imgs.shape == (2, 64, 128, 3) and n_valid == 2
+    # shuffling differs between epochs
+    order1 = [r for b in batches for r in b[2]]
+    order2 = [r for b in dl for r in b[2]]
+    assert sorted(order1) == sorted(order2)
+    assert order1 != order2
+
+
+def test_loader_drop_last_and_pad(fake_cityscapes):
+    ds = CityscapesDataset(fake_cityscapes, "train", height=64)
+    dl = DataLoader(ds, batch_size=4, drop_last=True)
+    assert len(list(dl)) == 1
+    dl = DataLoader(ds, batch_size=4, pad_final=True)
+    batches = list(dl)
+    imgs, labs, rels, n_valid = batches[-1]
+    assert imgs.shape[0] == 4 and n_valid == 2
