@@ -1,0 +1,119 @@
+"""Headline benchmark — Cityscapes 512x1024 inference images/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+vs_baseline measures against the reference's published forward speed on its
+own benchmark (eval/eval_forwardTime.py): ~24 ms/img = ~41.7 FPS at 1024x512
+on a Titan X (BASELINE.md; the ERFNet paper's runtime table).
+
+Timing methodology (this environment's TPU sits behind a tunnel where
+``block_until_ready`` does not reliably wait): every timed function returns
+a small scalar that the next iteration's input DEPENDS on (carry chaining),
+so executions serialize on-device and dispatch overlaps; the final carry is
+fetched to host exactly once per timing segment.  Short segments keep the
+device queue bounded.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 1000.0 / 24.0  # reference eval_forwardTime: ~24 ms @ 1024x512
+SEG = 10  # executions per host sync
+
+
+def _timed_chain(fn, carry0, n_iters):
+    """Run fn(carry) n_iters times in SEG-sized chained segments; return
+    seconds per iteration (excluding the first, compile-warm segment)."""
+    carry = carry0
+    # warmup segment (ensures compile + steady state)
+    for _ in range(SEG):
+        carry = fn(carry)
+    carry.block_until_ready()
+    float(np.asarray(carry))
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_iters:
+        for _ in range(SEG):
+            carry = fn(carry)
+        float(np.asarray(carry))  # host sync bounds the queue
+        done += SEG
+    return (time.perf_counter() - t0) / done
+
+
+def measure_infer(params, batch_stats, batch_size, iters=40):
+    from erfnet_pytorch_tpu.models import erfnet
+
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (batch_size, 512, 1024, 3))
+
+    @jax.jit
+    def step(carry):
+        logits, _ = erfnet.apply(params, batch_stats, x + carry * 0.0,
+                                 train=False, compute_dtype=jnp.bfloat16)
+        pred = jnp.argmax(logits, -1)
+        return (pred.sum() % 1024).astype(jnp.float32)
+
+    dt = _timed_chain(step, jnp.float32(0), iters)
+    return batch_size / dt
+
+
+def measure_train(batch_size, iters=20):
+    from erfnet_pytorch_tpu.models import erfnet
+    from erfnet_pytorch_tpu.training import optim
+    from erfnet_pytorch_tpu.training.steps import (create_train_state,
+                                                   make_train_step)
+    from erfnet_pytorch_tpu.training.class_weights import DECODER_WEIGHTS
+
+    tx = optim.make_adam()
+    ts0 = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                           augment=True, compute_dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch_size, 512, 1024, 3)
+                         .astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (batch_size, 512, 1024))
+                         .astype(np.int32))
+
+    # train steps chain through TrainState already — honest by construction
+    state = {"ts": ts0}
+
+    def fn(carry):
+        state["ts"], loss = step(state["ts"], images + carry * 0.0, labels,
+                                 jax.random.PRNGKey(0))
+        return loss
+
+    dt = _timed_chain(fn, jnp.float32(0), iters)
+    return batch_size / dt
+
+
+def main():
+    from erfnet_pytorch_tpu.models import erfnet
+
+    params, batch_stats = erfnet.init(jax.random.PRNGKey(0), 20)
+    infer_b1 = measure_infer(params, batch_stats, 1, iters=30)
+    infer_b8 = measure_infer(params, batch_stats, 8, iters=30)
+    train_b6 = measure_train(6, iters=10)
+
+    value = infer_b8
+    print(json.dumps({
+        "metric": "cityscapes_512x1024_inference_images_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(value / BASELINE_FPS, 2),
+        "extras": {
+            "infer_fps_batch1": round(infer_b1, 2),
+            "infer_fps_batch8": round(infer_b8, 2),
+            "train_images_per_sec_batch6": round(train_b6, 2),
+            "device": jax.devices()[0].device_kind,
+            "dtype": "bfloat16",
+            "baseline": "reference eval_forwardTime ~24ms/img (Titan X, "
+                        "1024x512)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Cityscapes test-server submission output — the reference's
+``eval/eval_cityscapes_server.py`` surface (SURVEY.md §2a row 16, §3.3):
+forward -> argmax -> trainId->labelId inverse remap (18->33 ... 0->7,
+void->0) -> grayscale PNG per input, ready for server upload.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from ..data.cityscapes import CityscapesDataset
+from ..data.loader import DataLoader
+from ..data.transforms import TRAINID_TO_LABELID
+from ..models import erfnet
+from ..training.checkpoint import load_any_weights
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--state")
+    p.add_argument("--loadDir", default="save/logs/")
+    p.add_argument("--loadWeights", default="model_best.pth")
+    p.add_argument("--loadModel", default="erfnet")
+    p.add_argument("--subset", default="test")
+    p.add_argument("--datadir", default=os.getenv("CITYSCAPES_DATADIR",
+                                                  "/datasets/cityscapes"))
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--outdir", default="save_results")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (forces the cpu platform)")
+    p.add_argument("--bf16", action="store_true")
+    return p
+
+
+def make_server_infer(compute_dtype=None):
+    remap = jnp.asarray(TRAINID_TO_LABELID)
+
+    @jax.jit
+    def infer(params, batch_stats, images):
+        logits, _ = erfnet.apply(params, batch_stats, images, train=False,
+                                 compute_dtype=compute_dtype)
+        return jnp.take(remap, jnp.argmax(logits, -1), axis=0)
+
+    return infer
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        # must run before any backend initialization; the axon TPU
+        # plugin otherwise overrides JAX_PLATFORMS=cpu
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    weights_path = args.state or os.path.join(args.loadDir, args.loadWeights)
+    print(f"Loading weights: {weights_path}")
+    params, batch_stats = load_any_weights(weights_path)
+    print("Model and weights LOADED successfully")
+
+    infer = make_server_infer(jnp.bfloat16 if args.bf16 else None)
+    ds = CityscapesDataset(args.datadir, args.subset, height=args.height)
+    dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers,
+                    pad_final=True)
+    for images, _labels, rels, n_valid in dl:
+        ids = np.asarray(infer(params, batch_stats, images)).astype(np.uint8)
+        for i in range(n_valid):
+            out_path = os.path.join(args.outdir, rels[i])
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            Image.fromarray(ids[i], mode="L").save(out_path)
+            print(out_path)
+
+
+if __name__ == "__main__":
+    main()

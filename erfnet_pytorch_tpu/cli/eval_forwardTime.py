@@ -1,0 +1,83 @@
+"""Forward-time benchmark — the reference's ``eval/eval_forwardTime.py``
+surface (SURVEY.md §2a row 17, §3.4): random input, warmup, synchronized
+timing loop, mean ms / FPS.
+
+TPU translation of the timing contract: ``cuda.synchronize`` becomes
+``block_until_ready``; inputs vary per iteration (fresh random batch
+indices) so XLA cannot constant-fold the loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import erfnet
+from ..training.steps import make_infer_fn
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--num-classes", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--iterations", type=int, default=100)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", dest="bf16", action="store_false")
+    p.add_argument("--state", help="optional weights (default: random init)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (forces the cpu platform)")
+    return p
+
+
+def benchmark(params, batch_stats, *, batch_size, height, width,
+              warmup, iterations, compute_dtype):
+    infer = make_infer_fn(erfnet, compute_dtype=compute_dtype)
+    # a pool of distinct inputs so no result can be cached/folded
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    xs = [jax.random.uniform(k, (batch_size, height, width, 3)) for k in keys]
+    for i in range(warmup):
+        logits, pred = infer(params, batch_stats, xs[i % len(xs)])
+    jax.block_until_ready((logits, pred))
+    t0 = time.perf_counter()
+    for i in range(iterations):
+        logits, pred = infer(params, batch_stats, xs[i % len(xs)])
+    jax.block_until_ready((logits, pred))
+    dt = (time.perf_counter() - t0) / iterations
+    return dt
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        # must run before any backend initialization; the axon TPU
+        # plugin otherwise overrides JAX_PLATFORMS=cpu
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.state:
+        from ..training.checkpoint import load_any_weights
+        params, batch_stats = load_any_weights(args.state)
+    else:
+        params, batch_stats = erfnet.init(jax.random.PRNGKey(0),
+                                          args.num_classes)
+    dt = benchmark(params, batch_stats, batch_size=args.batch_size,
+                   height=args.height, width=args.width, warmup=args.warmup,
+                   iterations=args.iterations,
+                   compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    per_img = dt / args.batch_size
+    print(f"device: {jax.devices()[0].device_kind}, "
+          f"input {args.batch_size}x{args.height}x{args.width}, "
+          f"dtype {'bf16' if args.bf16 else 'f32'}")
+    print(f"FORWARD: {per_img * 1000:.3f} ms/img  "
+          f"({1.0 / per_img:.2f} FPS)")
+    return per_img
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Cityscapes val/train mIoU evaluation — the reference's
+``eval/eval_iou.py`` surface (SURVEY.md §2a row 14, §3.2): loads weights,
+runs the 512x1024 eval pipeline, prints 19 ANSI-colored per-class IoUs and
+MEAN IoU.
+
+    python -m erfnet_pytorch_tpu.cli.eval_iou --datadir /data/cityscapes \
+        --loadDir save/erfnet_training1/ --loadWeights model_best.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax.numpy as jnp
+
+from ..data.cityscapes import CityscapesDataset
+from ..data.loader import DataLoader
+from ..data.transforms import CLASS_NAMES
+from ..metrics.iou import IouEval, get_color_entry, colors
+from ..models import erfnet
+from ..ops.augment import co_transform
+from ..training.checkpoint import load_any_weights
+from ..training.steps import make_infer_fn
+
+NUM_CLASSES = 20
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--state")
+    p.add_argument("--loadDir", default="save/logs/")
+    p.add_argument("--loadWeights", default="model_best.pth")
+    p.add_argument("--loadModel", default="erfnet",
+                   help="accepted for reference compatibility")
+    p.add_argument("--subset", default="val")
+    p.add_argument("--datadir", default=os.getenv("CITYSCAPES_DATADIR",
+                                                  "/datasets/cityscapes"))
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (forces the cpu platform)")
+    p.add_argument("--bf16", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        # must run before any backend initialization; the axon TPU
+        # plugin otherwise overrides JAX_PLATFORMS=cpu
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    weights_path = args.state or os.path.join(args.loadDir, args.loadWeights)
+    print(f"Loading weights: {weights_path}")
+    params, batch_stats = load_any_weights(weights_path)
+    print("Model and weights LOADED successfully")
+
+    infer = make_infer_fn(erfnet,
+                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
+
+    ds = CityscapesDataset(args.datadir, args.subset, height=args.height)
+    dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers,
+                    pad_final=True)
+    ev = IouEval(NUM_CLASSES)
+
+    start = time.time()
+    for bidx, (images, labels, rels, n_valid) in enumerate(dl):
+        _, preds = infer(params, batch_stats, images)
+        _, labels = co_transform(None, images, labels, augment=False)
+        ev.add_batch(preds[:n_valid], labels[:n_valid])
+        if bidx % 25 == 0:
+            print(f"batch {bidx}/{len(dl)}")
+    mean_iou, per_class = ev.get_iou()
+    print(f"took {time.time() - start:.1f}s "
+          f"({len(ds) / max(time.time() - start, 1e-9):.2f} img/s)")
+
+    print("---------------------------------------")
+    print(f"Took {time.time() - start:.1f} seconds")
+    print("=======================================")
+    for i, name in enumerate(CLASS_NAMES):
+        v = float(per_class[i])
+        print(f"{get_color_entry(v)}{v*100:.2f}{colors.ENDC}% {name}")
+    print("=======================================")
+    print(f"{get_color_entry(mean_iou)}{mean_iou*100:.2f}{colors.ENDC}% "
+          f"MEAN IoU")
+    return mean_iou
+
+
+if __name__ == "__main__":
+    main()

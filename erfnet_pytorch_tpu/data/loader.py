@@ -75,6 +75,8 @@ class DataLoader:
                     [labels, np.repeat(labels[-1:], reps, axis=0)])
             return images, labels, rels, n_valid
 
+        error = []
+
         def producer():
             try:
                 for idx in self._batch_indices():
@@ -89,6 +91,8 @@ class DataLoader:
                         images = jax.device_put(images)
                         labels = jax.device_put(labels)
                     q.put((images, labels, rels, n_valid))
+            except BaseException as e:  # surfaced to the consumer
+                error.append(e)
             finally:
                 q.put(None)
 
@@ -99,6 +103,8 @@ class DataLoader:
             while True:
                 item = q.get()
                 if item is None:
+                    if error:
+                        raise error[0]
                     break
                 yield item
         finally:

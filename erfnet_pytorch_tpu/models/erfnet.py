@@ -238,10 +238,11 @@ def apply(params, state, x, *, train=False, rng=None, only_encode=False,
     encoder with its 1x1 prediction head at 1/8 resolution.
     """
     if only_encode:
-        return apply_encoder(params["encoder"], state["encoder"], x,
-                             train=train, rng=rng, predict=True,
-                             compute_dtype=compute_dtype,
-                             layer_fn=encoder_layer_fn)
+        y, es = apply_encoder(params["encoder"], state["encoder"], x,
+                              train=train, rng=rng, predict=True,
+                              compute_dtype=compute_dtype,
+                              layer_fn=encoder_layer_fn)
+        return y, {"encoder": es, "decoder": state["decoder"]}
     y, es = apply_encoder(params["encoder"], state["encoder"], x, train=train,
                           rng=rng, predict=False, compute_dtype=compute_dtype,
                           layer_fn=encoder_layer_fn)

@@ -47,13 +47,15 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, dilation=1,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # output dtype follows the compute dtype so AD transpose rules see
+    # uniform dtypes (MXU accumulates in f32 internally either way)
     y = lax.conv_general_dilated(
         x, w,
         window_strides=(sh, sw),
         padding=((ph, ph), (pw, pw)),
         rhs_dilation=(dh, dw),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype or jnp.float32,
     )
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -83,7 +85,7 @@ def conv_transpose2d(x, w, b=None, *, stride=2, padding=0, output_padding=0,
                  (kw - 1 - pw, kw - 1 - pw + opw)),
         lhs_dilation=(sh, sw),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype or jnp.float32,
     )
     if b is not None:
         y = y + b.astype(y.dtype)

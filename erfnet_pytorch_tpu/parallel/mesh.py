@@ -1,0 +1,58 @@
+"""Device-mesh data parallelism — the TPU-native replacement for the
+reference's ``torch.nn.DataParallel`` (its only parallelism; SURVEY.md §2b).
+
+Strategy: a 1-D ``data`` mesh axis over ICI.  Batches are sharded
+(``P("data")``), parameters/optimizer state replicated (``P()``), and the
+whole train step runs under ``jit`` with NamedSharding-annotated inputs —
+XLA inserts the gradient/BatchNorm-statistics all-reduces over ICI
+automatically (jnp reductions over the sharded batch axis are global).
+That reproduces DataParallel's contract — same math, bigger batch — without
+NCCL-style explicit scatter/gather.
+
+A second (currently size-1) ``model`` axis is plumbed through the mesh shape
+so multi-host / spatially-sharded growth does not change call signatures.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_data if n_data is not None else len(devices)
+    dev_array = np.asarray(devices[:n]).reshape(n, 1)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Largest data-parallel mesh whose size divides the batch (sharded
+    dimension 0 must split evenly across the 'data' axis)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n, devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (or pytree) onto the mesh, sharded over 'data'."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/optimizer state) across the mesh."""
+    return jax.device_put(tree, replicated_sharding(mesh))

@@ -1,0 +1,105 @@
+"""Jitted train / eval steps for the segmentation recipe.
+
+One compiled function owns the whole hot path (SURVEY.md §3.1 hot loop):
+on-device co-transform augmentation -> forward (train-mode BN) -> weighted
+NLL -> backward -> Adam update -> (optional) argmax for train IoU.  Under a
+data-sharded mesh the same function is the multi-chip step: batch-axis
+reductions (loss mean, grads via AD of the mean, BN batch stats) become ICI
+collectives inserted by XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.loss import weighted_log_softmax_nll
+from ..ops.augment import co_transform
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(model, rng, num_classes, optimizer, encoder=None):
+    if encoder is not None:
+        params, batch_stats = model.init(rng, num_classes, encoder=encoder)
+    else:
+        params, batch_stats = model.init(rng, num_classes)
+    opt_state = optimizer.init(params)
+    return TrainState(params, batch_stats, opt_state,
+                      jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, optimizer, class_weights, *, enc: bool,
+                    augment: bool = True, compute_dtype=None,
+                    with_pred: bool = False):
+    """Returns step(ts, images, labels, rng) -> (ts, loss[, preds, labels]).
+
+    images: (B, H, W, 3) float in [0,1]; labels: (B, H, W) int32 raw-void
+    (255); augmentation + relabel + (enc) x8 label downsample happen inside.
+    """
+    cw = jnp.asarray(class_weights)
+
+    def loss_fn(params, batch_stats, images, labels, rng):
+        logits, new_stats = model.apply(
+            params, batch_stats, images, train=True,
+            rng=jax.random.fold_in(rng, 1), only_encode=enc,
+            compute_dtype=compute_dtype)
+        loss = weighted_log_softmax_nll(logits, labels, cw)
+        return loss, (new_stats, logits)
+
+    @jax.jit
+    def step(ts: TrainState, images, labels, rng):
+        images, labels = co_transform(jax.random.fold_in(rng, 0), images,
+                                      labels, enc=enc, augment=augment)
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params, ts.batch_stats, images, labels,
+                                   rng)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        new_ts = TrainState(params, new_stats, opt_state, ts.step + 1)
+        if with_pred:
+            return new_ts, loss, jnp.argmax(logits, -1), labels
+        return new_ts, loss
+
+    return step
+
+
+def make_eval_step(model, class_weights, *, enc: bool, compute_dtype=None):
+    """Returns eval_step(ts, images, labels) -> (loss, preds, labels):
+    eval-mode BN, no augmentation, labels relabeled (and enc-downsampled)."""
+    cw = jnp.asarray(class_weights)
+
+    @jax.jit
+    def eval_step(ts: TrainState, images, labels):
+        images, labels = co_transform(jax.random.PRNGKey(0), images, labels,
+                                      enc=enc, augment=False)
+        logits, _ = model.apply(ts.params, ts.batch_stats, images,
+                                train=False, only_encode=enc,
+                                compute_dtype=compute_dtype)
+        loss = weighted_log_softmax_nll(logits, labels, cw)
+        return loss, jnp.argmax(logits, -1), labels
+
+    return eval_step
+
+
+def make_infer_fn(model, *, compute_dtype=None, encoder_layer_fn=None):
+    """Pure inference: images -> (logits, argmax). Used by the eval CLIs and
+    the forward-time benchmark."""
+
+    @jax.jit
+    def infer(params, batch_stats, images):
+        logits, _ = model.apply(params, batch_stats, images, train=False,
+                                compute_dtype=compute_dtype,
+                                encoder_layer_fn=encoder_layer_fn)
+        return logits, jnp.argmax(logits, -1)
+
+    return infer

@@ -1,0 +1,214 @@
+"""Training driver — the rebuild of ``train/main.py:train()`` / ``main()``
+(SURVEY.md §2a rows 9, 12; §3.1 call stack): per-epoch train+val loops,
+poly LR, class-weighted NLL, IoU tracking, checkpoint/resume, best-model
+bookkeeping, ``automated_log.txt`` / ``model.txt`` artifacts, and the
+two-stage encoder->decoder orchestration.
+
+TPU-native: the hot path is one jitted step (training/steps.py); batches are
+sharded over the mesh's data axis; only scalar losses and (optionally) IoU
+matrices come back to host.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from ..data.cityscapes import CityscapesDataset
+from ..data.loader import DataLoader
+from ..metrics.iou import IouEval, get_color_entry, colors
+from ..models import erfnet
+from ..parallel.mesh import make_mesh_for_batch, batch_sharding, replicate
+from .class_weights import get_class_weights
+from . import optim
+from .checkpoint import CheckpointManager, restore_opt_state
+from .steps import (TrainState, create_train_state, make_train_step,
+                    make_eval_step)
+
+
+@dataclass
+class TrainConfig:
+    datadir: str
+    savedir: str
+    model: str = "erfnet"
+    num_classes: int = 20
+    height: int = 512
+    num_epochs: int = 150
+    batch_size: int = 6
+    num_workers: int = 4
+    lr: float = 5e-4
+    weight_decay: float = 1e-4
+    steps_loss: int = 50
+    epochs_save: int = 0
+    iou_train: bool = False
+    iou_val: bool = True
+    resume: bool = False
+    augment: bool = True
+    seed: int = 0
+    compute_dtype: Any = None          # e.g. jnp.bfloat16
+    mesh: Any = None                   # jax Mesh; default: all devices
+    log_fn: Callable[[str], None] = print
+
+
+def train_stage(cfg: TrainConfig, *, enc: bool,
+                pretrained_encoder=None) -> TrainState:
+    """One training stage (enc=True: encoder-only at 1/8; False: full net).
+
+    Returns the final TrainState; artifacts land in cfg.savedir with the
+    reference's file names (``*_enc`` suffixes for the encoder stage).
+    """
+    log = cfg.log_fn
+    log(f"========== {'ENCODER' if enc else 'DECODER'} TRAINING ==========")
+    mesh = cfg.mesh if cfg.mesh is not None else make_mesh_for_batch(cfg.batch_size)
+    bsh = batch_sharding(mesh)
+
+    model = erfnet
+    optimizer = optim.make_adam(cfg.lr, cfg.weight_decay)
+    rng = jax.random.PRNGKey(cfg.seed)
+    ts = create_train_state(model, rng, cfg.num_classes, optimizer,
+                            encoder=pretrained_encoder)
+    ts = replicate(mesh, ts)
+
+    weights = get_class_weights(enc)
+    train_step = make_train_step(model, optimizer, weights, enc=enc,
+                                 augment=cfg.augment,
+                                 compute_dtype=cfg.compute_dtype,
+                                 with_pred=cfg.iou_train)
+    eval_step = make_eval_step(model, weights, enc=enc,
+                               compute_dtype=cfg.compute_dtype)
+
+    ds_train = CityscapesDataset(cfg.datadir, "train", height=cfg.height)
+    ds_val = CityscapesDataset(cfg.datadir, "val", height=cfg.height)
+    log(f"dataset: {len(ds_train)} train / {len(ds_val)} val images")
+    dl_train = DataLoader(ds_train, cfg.batch_size, shuffle=True,
+                          num_workers=cfg.num_workers, drop_last=True,
+                          seed=cfg.seed, sharding=bsh)
+    dl_val = DataLoader(ds_val, cfg.batch_size, shuffle=False,
+                        num_workers=cfg.num_workers, pad_final=True,
+                        sharding=bsh)
+
+    ckpt = CheckpointManager(cfg.savedir, enc)
+    log_path = os.path.join(
+        cfg.savedir, "automated_log_encoder.txt" if enc
+        else "automated_log.txt")
+    if not os.path.exists(log_path):
+        with open(log_path, "a") as f:
+            f.write("Epoch\t\tTrain-loss\t\tTest-loss\t\tTrain-IoU\t\t"
+                    "Test-IoU\t\tlearningRate")
+
+    start_epoch = 1
+    best_acc = -np.inf
+    if cfg.resume:
+        payload = ckpt.resume()
+        ts = TrainState(
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=restore_opt_state(ts.opt_state, payload["opt_state"]),
+            step=ts.step)
+        ts = replicate(mesh, ts)
+        start_epoch = int(payload["epoch"]) + 1
+        best_acc = float(payload["best_acc"])
+        log(f"=> resumed checkpoint at epoch {payload['epoch']} "
+            f"(best_acc {best_acc:.4f})")
+
+    step_rng = jax.random.PRNGKey(cfg.seed + 1)
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
+        log(f"----- TRAINING - EPOCH {epoch} -----")
+        lr = optim.poly_lr(cfg.lr, epoch - 1, cfg.num_epochs)
+        ts = ts._replace(opt_state=optim.set_learning_rate(ts.opt_state, lr))
+        log(f"LEARNING RATE: {lr}")
+
+        epoch_loss = []
+        iou_train = IouEval(cfg.num_classes) if cfg.iou_train else None
+        t_start = time.time()
+        n_imgs = 0
+        for bidx, (images, labels, _rels, n_valid) in enumerate(dl_train):
+            r = jax.random.fold_in(step_rng, epoch * 100000 + bidx)
+            if cfg.iou_train:
+                ts, loss, preds, tgts = train_step(ts, images, labels, r)
+                iou_train.add_batch(preds, tgts)
+            else:
+                ts, loss = train_step(ts, images, labels, r)
+            epoch_loss.append(loss)
+            n_imgs += n_valid
+            if cfg.steps_loss > 0 and bidx % cfg.steps_loss == 0:
+                avg = float(np.mean([float(l) for l in epoch_loss]))
+                t_per_img = (time.time() - t_start) / max(n_imgs, 1)
+                log(f"loss: {avg:.4f} (epoch: {epoch}, step: {bidx}) "
+                    f"// Avg time/img: {t_per_img:.4f} s")
+        avg_loss_train = float(np.mean([float(l) for l in epoch_loss]))
+        iou_train_val = 0.0
+        if cfg.iou_train:
+            iou_train_val, _ = iou_train.get_iou()
+            log(f"EPOCH IoU on TRAIN set: "
+                f"{get_color_entry(iou_train_val)}{iou_train_val*100:.2f}"
+                f"{colors.ENDC}%")
+
+        # ---- validation ----
+        log(f"----- VALIDATING - EPOCH {epoch} -----")
+        val_losses = []
+        iou_val = IouEval(cfg.num_classes) if cfg.iou_val else None
+        for images, labels, _rels, n_valid in dl_val:
+            loss, preds, tgts = eval_step(ts, images, labels)
+            val_losses.append(loss)
+            if cfg.iou_val:
+                iou_val.add_batch(preds[:n_valid], tgts[:n_valid])
+        avg_loss_val = float(np.mean([float(l) for l in val_losses])) \
+            if val_losses else 0.0
+        iou_val_val = 0.0
+        if cfg.iou_val:
+            iou_val_val, _ = iou_val.get_iou()
+            log(f"EPOCH IoU on VAL set: "
+                f"{get_color_entry(iou_val_val)}{iou_val_val*100:.2f}"
+                f"{colors.ENDC}%")
+
+        # ---- bookkeeping (reference semantics) ----
+        current_acc = iou_val_val if cfg.iou_val else -avg_loss_val
+        is_best = current_acc > best_acc
+        best_acc = max(best_acc, current_acc)
+        ckpt.save_epoch(epoch=epoch, params=ts.params,
+                        batch_stats=ts.batch_stats, opt_state=ts.opt_state,
+                        best_acc=best_acc, is_best=is_best,
+                        epochs_save=cfg.epochs_save)
+        if is_best:
+            log(f"save: {ckpt.best_path} (epoch: {epoch})")
+            if cfg.iou_val:
+                ckpt.write_best(epoch, iou_val_val)
+        with open(log_path, "a") as f:
+            f.write(f"\n{epoch}\t\t{avg_loss_train:.4f}\t\t"
+                    f"{avg_loss_val:.4f}\t\t{iou_train_val:.4f}\t\t"
+                    f"{iou_val_val:.4f}\t\t{lr:.8f}")
+    return ts
+
+
+def train_two_stage(cfg: TrainConfig, *, decoder_only: bool = False,
+                    pretrained_encoder=None,
+                    state_for_decoder: Optional[TrainState] = None):
+    """Full two-stage recipe (train/main.py:main()):
+      stage 1 (unless decoder_only): encoder training at 1/8 resolution;
+      stage 2: full net with the stage-1 (or ImageNet-imported) encoder.
+    """
+    os.makedirs(cfg.savedir, exist_ok=True)
+    with open(os.path.join(cfg.savedir, "model.txt"), "w") as f:
+        f.write(f"model: {cfg.model}, num_classes: {cfg.num_classes}\n"
+                f"encoder specs: {erfnet.ENCODER_LAYER_SPECS}\n"
+                f"decoder specs: {erfnet.DECODER_LAYER_SPECS}\n")
+    with open(os.path.join(cfg.savedir, "opts.txt"), "w") as f:
+        f.write(str(cfg))
+
+    enc_state = state_for_decoder
+    if not decoder_only and pretrained_encoder is None:
+        enc_state = train_stage(cfg, enc=True)
+    if pretrained_encoder is not None:
+        encoder = pretrained_encoder
+    elif enc_state is not None:
+        encoder = (enc_state.params["encoder"],
+                   enc_state.batch_stats["encoder"])
+    else:
+        encoder = None
+    return train_stage(cfg, enc=False, pretrained_encoder=encoder)

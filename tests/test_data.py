@@ -11,30 +11,6 @@ from erfnet_pytorch_tpu.data.cityscapes import CityscapesDataset
 from erfnet_pytorch_tpu.data.loader import DataLoader
 
 
-@pytest.fixture(scope="session")
-def fake_cityscapes(tmp_path_factory):
-    """Tiny synthetic Cityscapes tree: 2:1 frames, 2 cities x 3 images per
-    split; deterministic content."""
-    root = tmp_path_factory.mktemp("cityscapes")
-    rng = np.random.RandomState(0)
-    for subset in ("train", "val"):
-        for city in ("aaa", "bbb"):
-            img_dir = root / "leftImg8bit" / subset / city
-            lab_dir = root / "gtFine" / subset / city
-            img_dir.mkdir(parents=True)
-            lab_dir.mkdir(parents=True)
-            for i in range(3):
-                stem = f"{city}_{i:06d}_000019"
-                img = rng.randint(0, 255, (128, 256, 3), dtype=np.uint8)
-                Image.fromarray(img).save(
-                    img_dir / f"{stem}_leftImg8bit.png")
-                lab = rng.randint(0, 20, (128, 256), dtype=np.uint8)
-                lab[0:8] = 255  # some void
-                Image.fromarray(lab, mode="L").save(
-                    lab_dir / f"{stem}_gtFine_labelTrainIds.png")
-    return str(root)
-
-
 def test_dataset_walk_and_shapes(fake_cityscapes):
     ds = CityscapesDataset(fake_cityscapes, "train", height=64)
     assert len(ds) == 6

@@ -1,0 +1,96 @@
+"""End-to-end driver: two-stage training smoke on synthetic Cityscapes,
+artifact contract, resume, and the eval CLIs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from erfnet_pytorch_tpu.training.trainer import (TrainConfig, train_stage,
+                                                 train_two_stage)
+
+
+def _cfg(fake_cityscapes, tmp_path, **kw):
+    defaults = dict(
+        datadir=fake_cityscapes, savedir=str(tmp_path / "run"),
+        height=64, num_epochs=2, batch_size=4, num_workers=2,
+        steps_loss=1, iou_train=False, iou_val=True, lr=5e-4,
+        log_fn=lambda s: None,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def test_two_stage_training_artifacts_and_resume(fake_cityscapes, tmp_path):
+    cfg = _cfg(fake_cityscapes, tmp_path)
+    ts = train_two_stage(cfg)
+    sd = cfg.savedir
+    # stage-1 artifacts (encoder)
+    assert os.path.exists(os.path.join(sd, "checkpoint_enc.pth.tar"))
+    assert os.path.exists(os.path.join(sd, "model_best_enc.pth.tar"))
+    assert os.path.exists(os.path.join(sd, "automated_log_encoder.txt"))
+    # stage-2 artifacts (full net)
+    assert os.path.exists(os.path.join(sd, "checkpoint.pth.tar"))
+    assert os.path.exists(os.path.join(sd, "model_best.pth"))
+    assert os.path.exists(os.path.join(sd, "model.txt"))
+    assert os.path.exists(os.path.join(sd, "best.txt"))
+    log = open(os.path.join(sd, "automated_log.txt")).read()
+    lines = log.strip().splitlines()
+    assert lines[0].startswith("Epoch")
+    assert len(lines) == 3  # header + 2 epochs
+    # decoder params were trained on top of the stage-1 encoder
+    assert "decoder" in ts.params
+
+    # resume stage 2 for one more epoch
+    cfg2 = _cfg(fake_cityscapes, tmp_path, num_epochs=3, resume=True)
+    cfg2.savedir = sd
+    train_stage(cfg2, enc=False)
+    log = open(os.path.join(sd, "automated_log.txt")).read()
+    assert len(log.strip().splitlines()) == 4  # one more epoch appended
+
+
+def test_eval_cli_end_to_end(fake_cityscapes, tmp_path, capsys):
+    # quick 1-epoch decoder-only training to produce weights
+    cfg = _cfg(fake_cityscapes, tmp_path, num_epochs=1)
+    train_stage(cfg, enc=False)
+
+    from erfnet_pytorch_tpu.cli import eval_iou
+    mean = eval_iou.main([
+        "--datadir", fake_cityscapes,
+        "--loadDir", cfg.savedir,
+        "--loadWeights", "model_best.pth",
+        "--subset", "val", "--height", "64", "--batch-size", "4",
+    ])
+    out = capsys.readouterr().out
+    assert "MEAN IoU" in out and "Road" in out and "cyclist" in out
+    assert 0.0 <= mean <= 1.0
+
+
+def test_color_and_server_cli(fake_cityscapes, tmp_path, monkeypatch):
+    cfg = _cfg(fake_cityscapes, tmp_path, num_epochs=1)
+    train_stage(cfg, enc=False)
+    monkeypatch.chdir(tmp_path)
+
+    from erfnet_pytorch_tpu.cli import eval_cityscapes_color as ecc
+    ecc.main(["--datadir", fake_cityscapes, "--loadDir", cfg.savedir,
+              "--subset", "val", "--height", "64", "--batch-size", "4"])
+    from PIL import Image
+    outs = []
+    for dirpath, _d, files in os.walk(tmp_path / "save_color"):
+        outs += [os.path.join(dirpath, f) for f in files]
+    assert len(outs) == 6
+    img = np.asarray(Image.open(outs[0]))
+    assert img.shape == (64, 128, 3)
+
+    from erfnet_pytorch_tpu.cli import eval_cityscapes_server as ecs
+    ecs.main(["--datadir", fake_cityscapes, "--loadDir", cfg.savedir,
+              "--subset", "val", "--height", "64", "--batch-size", "4"])
+    outs = []
+    for dirpath, _d, files in os.walk(tmp_path / "save_results"):
+        outs += [os.path.join(dirpath, f) for f in files]
+    assert len(outs) == 6
+    ids = np.asarray(Image.open(outs[0]))
+    assert ids.ndim == 2
+    valid = {7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28,
+             31, 32, 33, 0}
+    assert set(np.unique(ids)).issubset(valid)

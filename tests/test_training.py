@@ -1,0 +1,176 @@
+"""Training stack: optimizer parity vs torch Adam, poly LR, train-step loss
+decrease, checkpoint round-trip, 8-device sharded step equivalence."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from erfnet_pytorch_tpu.models import erfnet
+from erfnet_pytorch_tpu.training import optim
+from erfnet_pytorch_tpu.training.steps import (create_train_state,
+                                               make_train_step,
+                                               make_eval_step, TrainState)
+from erfnet_pytorch_tpu.training.checkpoint import (
+    CheckpointManager, load_checkpoint_file, restore_opt_state, save_weights,
+    load_weights, load_any_weights)
+from erfnet_pytorch_tpu.training.class_weights import (ENCODER_WEIGHTS,
+                                                       DECODER_WEIGHTS)
+from erfnet_pytorch_tpu.parallel.mesh import (make_mesh, batch_sharding,
+                                              replicate, shard_batch)
+
+
+def test_poly_lr_matches_torch_lambdalr():
+    base, epochs = 5e-4, 150
+    lin = torch.nn.Linear(2, 2)
+    opt = torch.optim.Adam(lin.parameters(), lr=base)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lr_lambda=lambda e: (1 - e / epochs) ** 0.9)
+    for epoch in range(5):
+        torch_lr = opt.param_groups[0]["lr"]
+        ours = optim.poly_lr(base, epoch, epochs)
+        assert abs(torch_lr - ours) < 1e-12
+        opt.step()
+        sched.step()
+
+
+def test_adam_update_matches_torch():
+    """One coupled-wd Adam step on identical params/grads."""
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(4, 3).astype(np.float32)
+    g0 = rng.randn(4, 3).astype(np.float32)
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    topt = torch.optim.Adam([tp], lr=5e-4, betas=(0.9, 0.999), eps=1e-8,
+                            weight_decay=1e-4)
+    tp.grad = torch.from_numpy(g0.copy())
+    topt.step()
+    tp.grad = torch.from_numpy(g0.copy())
+    topt.step()
+
+    tx = optim.make_adam(5e-4, 1e-4)
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    for _ in range(2):
+        updates, state = tx.update({"w": jnp.asarray(g0)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_set_learning_rate():
+    tx = optim.make_adam(5e-4)
+    state = tx.init({"w": jnp.zeros(3)})
+    state = optim.set_learning_rate(state, 1e-3)
+    assert abs(optim.get_learning_rate(state) - 1e-3) < 1e-9  # f32 rounding
+
+
+def _tiny_batch(b=4, h=32, w=64, seed=0):
+    rng = np.random.RandomState(seed)
+    images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (b, h, w)).astype(np.int32))
+    return images, labels
+
+
+@pytest.mark.parametrize("enc", [True, False])
+def test_train_step_decreases_loss(enc):
+    tx = optim.make_adam(5e-3)
+    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    step = make_train_step(erfnet, tx, ENCODER_WEIGHTS if enc
+                           else DECODER_WEIGHTS, enc=enc, augment=False)
+    images, labels = _tiny_batch()
+    losses = []
+    for i in range(8):
+        ts, loss = step(ts, images, labels, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert int(ts.step) == 8
+    assert np.isfinite(losses).all()
+
+
+def test_eval_step_shapes():
+    tx = optim.make_adam()
+    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    es = make_eval_step(erfnet, DECODER_WEIGHTS, enc=False)
+    images, labels = _tiny_batch()
+    loss, preds, tgts = es(ts, images, labels)
+    assert preds.shape == tgts.shape == (4, 32, 64)
+    assert np.isfinite(float(loss))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tx = optim.make_adam()
+    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                           augment=False)
+    images, labels = _tiny_batch()
+    ts, _ = step(ts, images, labels, jax.random.PRNGKey(0))
+
+    mgr = CheckpointManager(str(tmp_path), enc=False)
+    mgr.save_epoch(epoch=3, params=ts.params, batch_stats=ts.batch_stats,
+                   opt_state=ts.opt_state, best_acc=0.5, is_best=True,
+                   epochs_save=1)
+    assert (tmp_path / "checkpoint.pth.tar").exists()
+    assert (tmp_path / "model_best.pth").exists()
+    assert (tmp_path / "model.pth").exists()
+    assert (tmp_path / "model-003.pth").exists()
+
+    payload = load_checkpoint_file(str(tmp_path / "checkpoint.pth.tar"))
+    assert payload["epoch"] == 3 and payload["best_acc"] == 0.5
+
+    # params round-trip exactly
+    flat0, _ = jax.tree_util.tree_flatten(ts.params)
+    flat1, _ = jax.tree_util.tree_flatten(payload["params"])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # opt_state restores into the typed optax structure and keeps training
+    fresh = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    restored_opt = restore_opt_state(fresh.opt_state, payload["opt_state"])
+    ts2 = TrainState(payload["params"], payload["batch_stats"], restored_opt,
+                     jnp.zeros((), jnp.int32))
+    ts2b, _ = step(ts2, images, labels, jax.random.PRNGKey(1))
+    ts1b, _ = step(ts, images, labels, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(ts1b.params["encoder"]["initial_block"]["conv"]["w"]),
+        np.asarray(ts2b.params["encoder"]["initial_block"]["conv"]["w"]),
+        rtol=1e-6, atol=1e-7)
+
+    # weights-only artifacts load through load_any_weights
+    p, s = load_any_weights(str(tmp_path / "model_best.pth"))
+    assert "encoder" in p and "decoder" in p
+
+
+def test_sharded_step_matches_single_device():
+    """DataParallel contract: the 8-way sharded step computes the same math
+    as single-device on the same global batch (grads/BN psum via jit)."""
+    tx = optim.make_adam(1e-3)
+    ts0 = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                           augment=False)
+    images, labels = _tiny_batch(b=8)
+
+    # single device
+    ts1, loss1 = step(ts0, images, labels, jax.random.PRNGKey(0))
+
+    # 8-device mesh
+    mesh = make_mesh(8)
+    tsm = replicate(mesh, ts0)
+    im = shard_batch(mesh, images)
+    lm = shard_batch(mesh, labels)
+    ts2, loss2 = step(tsm, im, lm, jax.random.PRNGKey(0))
+
+    # f32 reduction order differs between 1-way and 8-way collectives
+    assert abs(float(loss1) - float(loss2)) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(ts1.params["decoder"]["output_conv"]["w"]),
+        np.asarray(ts2.params["decoder"]["output_conv"]["w"]),
+        rtol=1e-4, atol=1e-6)
+    # BN batch stats must be GLOBAL-batch stats (cross-replica)
+    np.testing.assert_allclose(
+        np.asarray(ts1.batch_stats["encoder"]["initial_block"]["bn"]["mean"]),
+        np.asarray(ts2.batch_stats["encoder"]["initial_block"]["bn"]["mean"]),
+        rtol=1e-5, atol=1e-7)
