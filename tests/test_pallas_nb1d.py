@@ -1,0 +1,66 @@
+"""Fused Pallas non_bottleneck_1d kernel vs the XLA reference path
+(interpret mode on CPU; the same kernel compiles on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from erfnet_pytorch_tpu.models.erfnet import (init_non_bottleneck_1d,
+                                              apply_non_bottleneck_1d)
+from erfnet_pytorch_tpu.ops.pallas.nb1d import (fuse_nb1d_params, nb1d_infer,
+                                                nb1d_supported,
+                                                make_encoder_layer_fn)
+
+
+def _block(c=128, seed=0):
+    params, state = init_non_bottleneck_1d(jax.random.PRNGKey(seed), c)
+    # randomize BN stats so folding is non-trivial
+    k = jax.random.PRNGKey(seed + 1)
+    ks = jax.random.split(k, 4)
+    state = {
+        "bn1": {"mean": jax.random.normal(ks[0], (c,)) * 0.1,
+                "var": jax.random.uniform(ks[1], (c,), minval=0.5,
+                                          maxval=1.5)},
+        "bn2": {"mean": jax.random.normal(ks[2], (c,)) * 0.1,
+                "var": jax.random.uniform(ks[3], (c,), minval=0.5,
+                                          maxval=1.5)},
+    }
+    return params, state
+
+
+@pytest.mark.parametrize("dilated", [1, 2, 8, 16])
+def test_fused_kernel_matches_xla(dilated):
+    c, h, w = 128, 32, 64
+    params, state = _block(c)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, h, w, c))
+
+    ref, _ = apply_non_bottleneck_1d(params, state, x, dilated=dilated,
+                                     dropprob=0.0, train=False)
+    fused = fuse_nb1d_params(params, state)
+    got = nb1d_infer(x, fused, dilated=dilated, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_supported_gate():
+    assert nb1d_supported((1, 64, 128, 128))
+    assert not nb1d_supported((1, 64, 128, 64))      # C not 128-aligned
+    assert not nb1d_supported((1, 512, 1024, 128))   # too big for VMEM plan
+
+
+def test_encoder_layer_fn_full_encoder_parity():
+    """Whole encoder with fused kernels == plain XLA encoder (inference)."""
+    from erfnet_pytorch_tpu.models import erfnet
+
+    params, state = erfnet.init(jax.random.PRNGKey(0), 20)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 128, 3))
+
+    ref, _ = erfnet.apply(params, state, x, train=False, only_encode=True)
+    layer_fn = make_encoder_layer_fn(params["encoder"], state["encoder"],
+                                     interpret=True)
+    got, _ = erfnet.apply(params, state, x, train=False, only_encode=True,
+                          encoder_layer_fn=layer_fn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
