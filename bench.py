@@ -94,10 +94,10 @@ def main():
 
     params, batch_stats = erfnet.init(jax.random.PRNGKey(0), 20)
     infer_b1 = measure_infer(params, batch_stats, 1, iters=30)
-    infer_b8 = measure_infer(params, batch_stats, 8, iters=30)
+    infer_b16 = measure_infer(params, batch_stats, 16, iters=30)
     train_b6 = measure_train(6, iters=10)
 
-    value = infer_b8
+    value = infer_b16
     print(json.dumps({
         "metric": "cityscapes_512x1024_inference_images_per_sec_per_chip",
         "value": round(value, 2),
@@ -105,7 +105,7 @@ def main():
         "vs_baseline": round(value / BASELINE_FPS, 2),
         "extras": {
             "infer_fps_batch1": round(infer_b1, 2),
-            "infer_fps_batch8": round(infer_b8, 2),
+            "infer_fps_batch16": round(infer_b16, 2),
             "train_images_per_sec_batch6": round(train_b6, 2),
             "device": jax.devices()[0].device_kind,
             "dtype": "bfloat16",
