@@ -1,0 +1,86 @@
+"""Auxiliary subsystems: VOC12 dataset, profiling utilities, dashboard."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from erfnet_pytorch_tpu.data.voc12 import VOC12Dataset
+from erfnet_pytorch_tpu.utils.profiling import (StepTimer, TensorBoardWriter,
+                                                enable_debug_checks,
+                                                disable_debug_checks)
+from erfnet_pytorch_tpu.training.visualize import Dashboard
+
+
+@pytest.fixture(scope="session")
+def fake_voc12(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc12")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (96, 128, 3),
+                                    dtype=np.uint8)).save(
+            root / "images" / f"2007_{i:06d}.jpg")
+        lab = Image.fromarray(rng.randint(0, 21, (96, 128),
+                                          dtype=np.uint8), mode="P")
+        lab.save(root / "labels" / f"2007_{i:06d}.png")
+    return str(root)
+
+
+def test_voc12_walk_and_shapes(fake_voc12):
+    ds = VOC12Dataset(fake_voc12, height=48)
+    assert len(ds) == 3
+    img, lab, rel = ds[0]
+    assert img.shape == (48, 64, 3) and img.dtype == np.float32
+    assert lab.shape == (48, 64) and lab.dtype == np.int32
+    assert rel == "2007_000000.jpg"
+    with pytest.raises(FileNotFoundError):
+        VOC12Dataset("/nonexistent")
+
+
+def test_voc12_with_loader(fake_voc12):
+    from erfnet_pytorch_tpu.data.loader import DataLoader
+    ds = VOC12Dataset(fake_voc12, height=48)
+    batches = list(DataLoader(ds, 2, num_workers=2))
+    assert batches[0][0].shape == (2, 48, 64, 3)
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(5):
+        t.start()
+        t.stop()
+    assert t.count == 5
+    s = t.summary()
+    assert "p50" in s and "p95" in s
+
+
+def test_debug_checks_toggle():
+    enable_debug_checks()
+    import jax
+    assert jax.config.jax_debug_nans
+    disable_debug_checks()
+    assert not jax.config.jax_debug_nans
+
+
+def test_tensorboard_writer(tmp_path):
+    w = TensorBoardWriter(str(tmp_path / "tb"))
+    w.scalar("loss", 1.0, 0)
+    w.image("img", np.zeros((4, 4, 3), np.uint8), 0)
+    w.flush()
+    # events file written by whichever backend was found (torch is baked in)
+    files = []
+    for dirpath, _d, fs in os.walk(tmp_path / "tb"):
+        files += fs
+    assert files, "no tensorboard event files written"
+
+
+def test_dashboard_degrades_without_visdom(capsys):
+    d = Dashboard(port=1)  # visdom not installed -> no-op
+    d.loss([1.0, 0.5], "loss")
+    d.image(np.zeros((3, 4, 4)), "img")
+    # reaching here without raising is the contract
