@@ -69,6 +69,20 @@ class CityscapesDataset:
     def __len__(self):
         return len(self.filenames)
 
+    @property
+    def native_size(self):
+        """(h, w) for the native C++ loader (Cityscapes frames are 2:1)."""
+        if self.height is None:
+            return None
+        return (self.height, self.height * 2)
+
+    def sample_paths(self, idx: int):
+        """(image_path, label_path_or_None) for the native loader."""
+        rel = self.filenames[int(idx)]
+        lp = self.label_path(rel)
+        return (os.path.join(self.images_root, rel),
+                lp if os.path.exists(lp) else None)
+
     def label_path(self, rel: str) -> str:
         return os.path.join(
             self.labels_root,

@@ -26,7 +26,12 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = False,
                  prefetch: int = 2, seed: int = 0,
-                 sharding=None, pad_final: bool = False):
+                 sharding=None, pad_final: bool = False,
+                 backend: str = "auto"):
+        """backend: "pil" (python thread pool calling dataset.__getitem__),
+        "native" (C++ decode+resize pool; requires the dataset to expose
+        sample_paths()/native_size), or "auto" (native when both the library
+        and the dataset support it)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,6 +42,25 @@ class DataLoader:
         self.sharding = sharding
         self.pad_final = pad_final
         self._epoch = 0
+        self._native = None
+        if backend in ("auto", "native"):
+            supported = (hasattr(dataset, "sample_paths")
+                         and getattr(dataset, "native_size", None))
+            if supported:
+                try:
+                    from .. import native
+                    if native.available():
+                        self._native = native.NativeBatchLoader(
+                            self.num_workers)
+                except Exception as e:
+                    if backend == "native":
+                        raise
+                    print(f"[loader] native backend unavailable ({e!r}); "
+                          "using PIL")
+            elif backend == "native":
+                raise ValueError(
+                    "dataset does not support the native backend "
+                    "(needs sample_paths() and native_size)")
 
     def __len__(self):
         n = len(self.dataset)
@@ -62,6 +86,20 @@ class DataLoader:
         stop = threading.Event()
 
         def assemble(idx):
+            if self._native is not None:
+                h, w = self.dataset.native_size
+                pairs = [self.dataset.sample_paths(i) for i in idx]
+                rels = [self.dataset.filenames[int(i)] for i in idx]
+                images, labels = self._native.load_batch(
+                    [p[0] for p in pairs], [p[1] or "" for p in pairs], h, w)
+                n_valid = len(idx)
+                if self.pad_final and n_valid < self.batch_size:
+                    reps = self.batch_size - n_valid
+                    images = np.concatenate(
+                        [images, np.repeat(images[-1:], reps, axis=0)])
+                    labels = np.concatenate(
+                        [labels, np.repeat(labels[-1:], reps, axis=0)])
+                return images, labels, rels, n_valid
             samples = list(self._pool.map(self.dataset.__getitem__, idx))
             images = np.stack([s[0] for s in samples])
             labels = np.stack([s[1] for s in samples])

@@ -1,0 +1,117 @@
+"""Native (C++) data-loader bindings via ctypes.
+
+``get_lib()`` builds the shared library on first use (g++ is in the image)
+and caches it next to the source.  Everything degrades gracefully: callers
+check ``available()`` and fall back to the PIL path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "loader.cc")
+_SO = os.path.join(_DIR, "_loader.so")
+
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO, _SRC,
+           "-lpng", "-ljpeg", "-lz", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        msg = getattr(e, "stderr", str(e))
+        print(f"[native] build failed, falling back to PIL: {msg}")
+        return False
+
+
+def get_lib():
+    """Returns the ctypes lib or None."""
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            if not _build():
+                _failed = True
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.loader_create.restype = ctypes.c_void_p
+        lib.loader_create.argtypes = [ctypes.c_int]
+        lib.loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.load_image_f32.restype = ctypes.c_int
+        lib.load_image_f32.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.load_label_i32.restype = ctypes.c_int
+        lib.load_label_i32.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.loader_batch.restype = ctypes.c_int
+        lib.loader_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+class NativeBatchLoader:
+    """Thread-pooled native decode+resize into caller-visible numpy buffers.
+
+    GIL-free: the entire batch is filled by C++ threads during one ctypes
+    call.  Used by data.loader.DataLoader as the ``backend="native"`` path.
+    """
+
+    def __init__(self, num_threads: int = 4):
+        import numpy as np  # local to keep module import light
+        self._np = np
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        self._pool = lib.loader_create(num_threads)
+
+    def close(self):
+        if getattr(self, "_pool", None):
+            self._lib.loader_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def load_batch(self, img_paths, lab_paths, h, w, *, fill=255):
+        np = self._np
+        n = len(img_paths)
+        imgs = np.empty((n, h, w, 3), np.float32)
+        labs = np.empty((n, h, w), np.int32)
+        c_imgs = (ctypes.c_char_p * n)(
+            *[p.encode() for p in img_paths])
+        c_labs = (ctypes.c_char_p * n)(
+            *[(p.encode() if p else b"") for p in lab_paths])
+        rc = self._lib.loader_batch(
+            self._pool, c_imgs, c_labs, n, h, w,
+            imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            labs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), fill)
+        if rc != 0:
+            raise IOError(f"native loader failed on batch "
+                          f"(first path: {img_paths[0]!r})")
+        return imgs, labs

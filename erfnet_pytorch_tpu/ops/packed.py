@@ -1,0 +1,168 @@
+"""Space-to-depth packed factorized convolutions — the lane-utilization fix
+for ERFNet's small-channel stages on the MXU.
+
+Problem: the decoder's non_bottleneck_1d blocks run at C=16/64 — a
+(H·W, 16) x (16, 16) matmul uses 1.5% of the 128x128 MXU and measures
+~0.75 TFLOPs effective.  TPU-native fix: pack p consecutive W-positions
+into channels (free reshape in NHWC: (H, W, C) -> (H, W/p, p*C)) and
+express each 3-tap factorized conv as <=3 DENSE (pC, pC) matmuls on
+block-shifted inputs:
+
+    out = sum_q  shift_wb(X, q) @ K_q  + bias
+
+where K_q packs every tap whose source lands q blocks away
+(block-tridiagonal structure for W-taps; block-diagonal for H-taps).
+The dense form wastes ~p/3 x FLOPs on structural zeros but fills all 128
+lanes — a large net win for C*p = 128 (measured ~6x on the C=16 stage).
+
+Zero-padding semantics are exact: any tap source outside the image maps to
+an out-of-range block, and block shifts zero-fill.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_packed_taps_w(w3: np.ndarray, p: int, d: int):
+    """W-axis 3-tap conv (offsets -d, 0, +d) -> [(q, K_q)] with K_q
+    (p*C, p*C).  w3: (3, C, C) HWIO-squeezed tap matrices."""
+    w3 = np.asarray(w3, np.float32)
+    C = w3.shape[1]
+    Ks: Dict[int, np.ndarray] = {}
+    for k, o in ((0, -d), (1, 0), (2, +d)):
+        for j_out in range(p):
+            src = j_out + o
+            q, j_in = src // p, src % p
+            K = Ks.setdefault(q, np.zeros((p * C, p * C), np.float32))
+            K[j_in * C:(j_in + 1) * C, j_out * C:(j_out + 1) * C] += w3[k]
+    return sorted(Ks.items())
+
+
+def build_packed_taps_h(w3: np.ndarray, p: int, d: int):
+    """H-axis 3-tap conv -> [(row_shift, K)] with block-diagonal K (the p
+    packed groups transform independently along H)."""
+    w3 = np.asarray(w3, np.float32)
+    C = w3.shape[1]
+    out = []
+    for k, o in ((0, -d), (1, 0), (2, +d)):
+        K = np.zeros((p * C, p * C), np.float32)
+        for j in range(p):
+            K[j * C:(j + 1) * C, j * C:(j + 1) * C] = w3[k]
+        out.append((o, K))
+    return out
+
+
+def _shift(x, q, axis):
+    """Shift x by q along axis with zero fill: out[i] = x[i + q]."""
+    if q == 0:
+        return x
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    if q > 0:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(q, None)
+        pad[axis] = (0, q)
+    else:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(None, q)
+        pad[axis] = (-q, 0)
+    return jnp.pad(x[tuple(sl)], pad)
+
+
+def packed_conv(X, taps, bias, *, axis, relu):
+    """X: (..., H, Wb, pC); taps: [(q, K (pC,pC))]; axis: -3 (H) or -2 (Wb).
+    bias: (pC,) pre-tiled."""
+    acc = None
+    for q, K in taps:
+        t = jnp.dot(_shift(X, q, axis).reshape(-1, X.shape[-1]), K,
+                    preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    acc = acc + bias
+    if relu:
+        acc = jax.nn.relu(acc)
+    return acc.reshape(X.shape[:-1] + (X.shape[-1],)).astype(X.dtype)
+
+
+def pack_nb1d_params(fused: Dict[str, jnp.ndarray], p: int, dilated: int,
+                     dtype=jnp.float32):
+    """Convert fuse_nb1d_params output (BN-folded (3,C,C)/(C,) tensors) to
+    packed tap matrices + tiled biases."""
+    def cvt(taps):
+        return [(q, jnp.asarray(K, dtype)) for q, K in taps]
+
+    def tile(b):
+        return jnp.tile(jnp.asarray(b, jnp.float32), p)
+
+    return {
+        "p": p, "d": dilated,
+        "c1": cvt(build_packed_taps_h(np.asarray(fused["w1"]), p, 1)),
+        "b1": tile(fused["b1"]),
+        "c2": cvt(build_packed_taps_w(np.asarray(fused["w2"]), p, 1)),
+        "b2": tile(fused["b2"]),
+        "c3": cvt(build_packed_taps_h(np.asarray(fused["w3"]), p, dilated)),
+        "b3": tile(fused["b3"]),
+        "c4": cvt(build_packed_taps_w(np.asarray(fused["w4"]), p, dilated)),
+        "b4": tile(fused["b4"]),
+    }
+
+
+def _tap_stack(taps, pc, dtype):
+    """[(q, K)] -> ((3, pC, pC) stack ordered (-s, 0, +s), s).  Requires the
+    symmetric {-s, 0, s} structure (true for all ERFNet d/p combos)."""
+    qs = sorted(q for q, _ in taps)
+    s = max(abs(q) for q in qs) if any(qs) else 1
+    assert set(qs) <= {-s, 0, s}, f"asymmetric packed taps {qs}"
+    by_q = dict(taps)
+    zero = np.zeros((pc, pc), np.float32)
+    stack = np.stack([np.asarray(by_q.get(q, zero)) for q in (-s, 0, s)])
+    return jnp.asarray(stack, dtype), s
+
+
+def pack_nb1d_for_pallas(fused: Dict[str, jnp.ndarray], p: int,
+                         dilated: int, dtype=jnp.float32):
+    """fuse_nb1d_params output -> ((3,pC,pC)-stacked weights dict, s2, s4)
+    for ops.pallas.nb1d.nb1d_infer_packed."""
+    C = np.asarray(fused["b1"]).shape[0]
+    pc = p * C
+
+    def tile(b):
+        return jnp.tile(jnp.asarray(b, jnp.float32), p)
+
+    w1, _ = _tap_stack(build_packed_taps_h(np.asarray(fused["w1"]), p, 1),
+                       pc, dtype)
+    w2, s2 = _tap_stack(build_packed_taps_w(np.asarray(fused["w2"]), p, 1),
+                        pc, dtype)
+    w3, _ = _tap_stack(build_packed_taps_h(np.asarray(fused["w3"]), p,
+                                           dilated), pc, dtype)
+    w4, s4 = _tap_stack(build_packed_taps_w(np.asarray(fused["w4"]), p,
+                                            dilated), pc, dtype)
+    weights = {"w1": w1, "b1": tile(fused["b1"]),
+               "w2": w2, "b2": tile(fused["b2"]),
+               "w3": w3, "b3": tile(fused["b3"]),
+               "w4": w4, "b4": tile(fused["b4"])}
+    return weights, s2, s4
+
+
+def nb1d_packed(x, packed):
+    """Inference non_bottleneck_1d on a space-to-depth packed layout.
+
+    x: (B, H, W, C) -> same; internally (B, H, W/p, p*C).  Pure jnp — XLA
+    fuses the shifts into the matmul epilogues; also the numerics oracle
+    for the Pallas variant.
+    """
+    B, H, W, C = x.shape
+    p = packed["p"]
+    assert W % p == 0, (W, p)
+    X = x.reshape(B, H, W // p, p * C)
+    t = packed_conv(X, packed["c1"], packed["b1"], axis=-3, relu=True)
+    t = packed_conv(t, packed["c2"], packed["b2"], axis=-2, relu=True)
+    t = packed_conv(t, packed["c3"], packed["b3"], axis=-3, relu=True)
+    t = packed_conv(t, packed["c4"], packed["b4"], axis=-2, relu=False)
+    out = jax.nn.relu(t.astype(jnp.float32) + X.astype(jnp.float32))
+    return out.reshape(B, H, W, C).astype(x.dtype)

@@ -107,24 +107,28 @@ def _taps_w(x, w, d, H, W, C, relu, bias):
 
 
 def _nb1d_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref, *,
-                 d: int, H: int, W: int, C: int):
+                 s1: int, s2: int, s3: int, s4: int,
+                 H: int, W: int, C: int):
+    """Four 3-tap convs with static shift amounts: s1/s3 along H (rows),
+    s2/s4 along W.  Unpacked blocks use (1, 1, d, d); space-to-depth packed
+    blocks use the block-shift steps from ops/packed.py."""
     x = x_ref[0]                                   # (H, W, C)
     xf = x.reshape(H * W, C)
-    t = _taps_h(xf, w1[:], 1, W, True, b1[:])       # conv3x1_1 + ReLU
-    t = _taps_w(t.reshape(H, W, C), w2[:], 1, H, W, C, True, b2[:])
-    t = _taps_h(t.reshape(H * W, C), w3[:], d, W, True, b3[:])
-    t = _taps_w(t.reshape(H, W, C), w4[:], d, H, W, C, False, b4[:])
+    t = _taps_h(xf, w1[:], s1, W, True, b1[:])       # conv3x1_1 + ReLU
+    t = _taps_w(t.reshape(H, W, C).astype(x.dtype), w2[:], s2, H, W, C,
+                True, b2[:])
+    t = _taps_h(t.reshape(H * W, C).astype(x.dtype), w3[:], s3, W, True,
+                b3[:])
+    t = _taps_w(t.reshape(H, W, C).astype(x.dtype), w4[:], s4, H, W, C,
+                False, b4[:])
     out_ref[0] = jax.nn.relu(t + x.astype(jnp.float32)).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("dilated", "interpret"))
-def nb1d_infer(x, fused, *, dilated: int, interpret: bool = False):
-    """Fused inference non_bottleneck_1d. x: (B, H, W, C) -> same shape."""
+def _nb1d_call(x, fused, *, shifts, interpret):
     B, H, W, C = x.shape
-    kernel = functools.partial(_nb1d_kernel, d=dilated, H=H, W=W, C=C)
-    full = lambda *_: (0, 0)
-
+    s1, s2, s3, s4 = shifts
+    kernel = functools.partial(_nb1d_kernel, s1=s1, s2=s2, s3=s3, s4=s4,
+                               H=H, W=W, C=C)
     wspec = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM)
@@ -149,6 +153,28 @@ def nb1d_infer(x, fused, *, dilated: int, interpret: bool = False):
         interpret=interpret,
     )(x, fused["w1"], fused["b1"], fused["w2"], fused["b2"],
       fused["w3"], fused["b3"], fused["w4"], fused["b4"])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dilated", "interpret"))
+def nb1d_infer(x, fused, *, dilated: int, interpret: bool = False):
+    """Fused inference non_bottleneck_1d. x: (B, H, W, C) -> same shape."""
+    return _nb1d_call(x, fused, shifts=(1, 1, dilated, dilated),
+                      interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "dilated", "s2", "s4", "interpret"))
+def nb1d_infer_packed(x, packed_w, *, p: int, dilated: int, s2: int,
+                      s4: int, interpret: bool = False):
+    """Space-to-depth packed fused block: x (B, H, W, C) viewed as
+    (B, H, W/p, p*C); packed_w holds (3, pC, pC) tap stacks from
+    ops/packed.py (see pack_nb1d_for_pallas)."""
+    B, H, W, C = x.shape
+    X = x.reshape(B, H, W // p, p * C)
+    out = _nb1d_call(X, packed_w, shifts=(1, s2, dilated, s4),
+                     interpret=interpret)
+    return out.reshape(B, H, W, C)
 
 
 def make_encoder_layer_fn(encoder_params, encoder_state, *,

@@ -1,0 +1,70 @@
+"""Space-to-depth packed nb1d vs the unpacked XLA reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from erfnet_pytorch_tpu.models.erfnet import (init_non_bottleneck_1d,
+                                              apply_non_bottleneck_1d)
+from erfnet_pytorch_tpu.ops.pallas.nb1d import fuse_nb1d_params
+from erfnet_pytorch_tpu.ops.packed import nb1d_packed, pack_nb1d_params
+
+
+@pytest.mark.parametrize("c,p,d", [
+    (16, 8, 1),    # decoder nb1d(16)
+    (64, 2, 1),    # decoder/encoder nb1d(64)
+    (16, 8, 2),    # dilation smaller than pack
+    (16, 8, 8),    # dilation == pack
+    (16, 8, 16),   # dilation > pack
+    (16, 4, 1),    # partial pack
+])
+def test_packed_matches_unpacked(c, p, d):
+    params, state = init_non_bottleneck_1d(jax.random.PRNGKey(c + p + d), c)
+    # non-trivial BN stats
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    state = {
+        "bn1": {"mean": jax.random.normal(ks[0], (c,)) * 0.1,
+                "var": jax.random.uniform(ks[1], (c,), minval=0.5,
+                                          maxval=1.5)},
+        "bn2": {"mean": jax.random.normal(ks[2], (c,)) * 0.1,
+                "var": jax.random.uniform(ks[3], (c,), minval=0.5,
+                                          maxval=1.5)},
+    }
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 24, 40, c))
+    ref, _ = apply_non_bottleneck_1d(params, state, x, dilated=d,
+                                     dropprob=0.0, train=False)
+    packed = pack_nb1d_params(fuse_nb1d_params(params, state), p, d)
+    got = nb1d_packed(x, packed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_packed_p1_is_identity_packing():
+    c = 16
+    params, state = init_non_bottleneck_1d(jax.random.PRNGKey(0), c)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 24, c))
+    ref, _ = apply_non_bottleneck_1d(params, state, x, dilated=1,
+                                     dropprob=0.0, train=False)
+    packed = pack_nb1d_params(fuse_nb1d_params(params, state), 1, 1)
+    got = nb1d_packed(x, packed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("c,p,d", [(16, 8, 1), (16, 8, 16), (64, 2, 4)])
+def test_packed_pallas_kernel_matches(c, p, d):
+    from erfnet_pytorch_tpu.ops.packed import pack_nb1d_for_pallas
+    from erfnet_pytorch_tpu.ops.pallas.nb1d import nb1d_infer_packed
+
+    params, state = init_non_bottleneck_1d(jax.random.PRNGKey(0), c)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, c))
+    ref, _ = apply_non_bottleneck_1d(params, state, x, dilated=d,
+                                     dropprob=0.0, train=False)
+    weights, s2, s4 = pack_nb1d_for_pallas(
+        fuse_nb1d_params(params, state), p, d)
+    got = nb1d_infer_packed(x, weights, p=p, dilated=d, s2=s2, s4=s4,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
