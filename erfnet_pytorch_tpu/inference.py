@@ -1,0 +1,122 @@
+"""Fast-path inference: the full ERFNet forward with every eligible block
+routed through fused Pallas kernels.
+
+  * 128-channel dilated NB1d blocks  -> fused VMEM kernel (nb1d_infer)
+  * 64/16-channel NB1d blocks        -> space-to-depth packed kernel
+                                        (nb1d_infer_packed, pC = 128 lanes)
+  * downsamplers / upsamplers / heads -> XLA (conv / conv_transpose)
+
+Weights are prepared once per (params, batch_stats) — BN folding + packed
+tap-matrix construction — then the returned callable is a plain jit.
+The XLA-only path (``use_pallas=False``) is the parity oracle; eligibility
+is re-checked per activation shape so odd sizes silently fall back.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from .models import erfnet
+from .models.erfnet import (ENCODER_LAYER_SPECS, DECODER_LAYER_SPECS,
+                            apply_downsampler, apply_upsampler,
+                            apply_non_bottleneck_1d)
+from .ops.pallas.nb1d import (fuse_nb1d_params, nb1d_infer,
+                              nb1d_infer_packed)
+from .ops.packed import pack_nb1d_for_pallas
+
+# Map-size budget for whole-image-in-VMEM kernels (bf16 bytes of the packed
+# view); larger activations fall back to XLA.
+_MAX_MAP_ELEMS = 64 * 128 * 128 * 4  # = 4 MB bf16 x2 buffers headroom
+
+# channel -> space-to-depth pack factor giving 128 lanes
+_PACK = {128: 1, 64: 2, 16: 8}
+
+
+def _prepare(layers_params, layers_state, specs, dtype):
+    """Per-layer fused weights for every NB1d block."""
+    prepared = {}
+    for i, (kind, args) in enumerate(specs):
+        if kind != "nb1d":
+            continue
+        c, _drop, dil = args
+        p = _PACK.get(c)
+        if p is None:
+            continue
+        fused = fuse_nb1d_params(layers_params[i], layers_state[i])
+        if p == 1:
+            prepared[i] = ("plain", fuse_nb1d_params(layers_params[i],
+                                                     layers_state[i],
+                                                     dtype=dtype), dil)
+        else:
+            weights, s2, s4 = pack_nb1d_for_pallas(fused, p, dil,
+                                                   dtype=dtype)
+            prepared[i] = ("packed", (weights, p, s2, s4), dil)
+    return prepared
+
+
+def _eligible(shape, p):
+    b, h, w, c = shape
+    return (w % max(p, 8) == 0 and (c * p) % 128 == 0
+            and h * (w // p) * (c * p) <= _MAX_MAP_ELEMS)
+
+
+def _make_layer_fn(prepared, dtype, interpret, train_fallback_specs):
+    def layer_fn(kind, i, params, state, x, spec):
+        if kind == "down":
+            return apply_downsampler(params, state, x, train=False,
+                                     compute_dtype=dtype)
+        if kind == "up":
+            return apply_upsampler(params, state, x, train=False,
+                                   compute_dtype=dtype)
+        c, _drop, dil = spec
+        entry = prepared.get(i)
+        if entry is not None:
+            mode, payload, d = entry
+            if mode == "plain" and _eligible(x.shape, 1):
+                return (nb1d_infer(x.astype(dtype), payload, dilated=d,
+                                   interpret=interpret), state)
+            if mode == "packed":
+                weights, p, s2, s4 = payload
+                if _eligible(x.shape, p):
+                    return (nb1d_infer_packed(x.astype(dtype), weights, p=p,
+                                              dilated=d, s2=s2, s4=s4,
+                                              interpret=interpret), state)
+        return apply_non_bottleneck_1d(params, state, x, dilated=dil,
+                                       dropprob=0.0, train=False,
+                                       compute_dtype=dtype)
+    return layer_fn
+
+
+def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
+                     use_pallas=True, interpret=False):
+    """Returns jitted infer(images) -> (logits, preds)."""
+    if not use_pallas:
+        @jax.jit
+        def infer_xla(images):
+            logits, _ = erfnet.apply(params, batch_stats, images,
+                                     train=False, compute_dtype=dtype)
+            return logits, jnp.argmax(logits, -1)
+        return infer_xla
+
+    enc_prep = _prepare(params["encoder"]["layers"],
+                        batch_stats["encoder"]["layers"],
+                        ENCODER_LAYER_SPECS, dtype)
+    dec_prep = _prepare(params["decoder"]["layers"],
+                        batch_stats["decoder"]["layers"],
+                        DECODER_LAYER_SPECS, dtype)
+    enc_fn = _make_layer_fn(enc_prep, dtype, interpret, ENCODER_LAYER_SPECS)
+    dec_fn = _make_layer_fn(dec_prep, dtype, interpret, DECODER_LAYER_SPECS)
+
+    @jax.jit
+    def infer(images):
+        logits, _ = erfnet.apply(params, batch_stats, images, train=False,
+                                 compute_dtype=dtype,
+                                 encoder_layer_fn=enc_fn,
+                                 decoder_layer_fn=dec_fn)
+        return logits, jnp.argmax(logits, -1)
+
+    return infer

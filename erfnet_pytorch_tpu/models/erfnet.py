@@ -197,12 +197,14 @@ def init_decoder(key, num_classes):
 
 
 def apply_decoder(params, state, x, *, train=False, rng=None,
-                  compute_dtype=None):
+                  compute_dtype=None, layer_fn=None):
     y = x
     new_layers = []
     for i, (kind, args) in enumerate(DECODER_LAYER_SPECS):
         p, s = params["layers"][i], state["layers"][i]
-        if kind == "up":
+        if layer_fn is not None:
+            y, ns = layer_fn(kind, i, p, s, y, args)
+        elif kind == "up":
             y, ns = apply_upsampler(p, s, y, train=train,
                                     compute_dtype=compute_dtype)
         else:
@@ -231,7 +233,7 @@ def init(key, num_classes=20, encoder=None):
 
 
 def apply(params, state, x, *, train=False, rng=None, only_encode=False,
-          compute_dtype=None, encoder_layer_fn=None):
+          compute_dtype=None, encoder_layer_fn=None, decoder_layer_fn=None):
     """Forward pass. x: (B, H, W, 3) -> logits (B, H', W', num_classes).
 
     only_encode=True mirrors ``Net.forward(input, only_encode=True)``:
@@ -247,5 +249,6 @@ def apply(params, state, x, *, train=False, rng=None, only_encode=False,
                           rng=rng, predict=False, compute_dtype=compute_dtype,
                           layer_fn=encoder_layer_fn)
     y, ds = apply_decoder(params["decoder"], state["decoder"], y, train=train,
-                          rng=rng, compute_dtype=compute_dtype)
+                          rng=rng, compute_dtype=compute_dtype,
+                          layer_fn=decoder_layer_fn)
     return y, {"encoder": es, "decoder": ds}

@@ -1,0 +1,40 @@
+"""Full fast-path inference (all Pallas kernels) vs the XLA oracle."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from erfnet_pytorch_tpu.models import erfnet
+from erfnet_pytorch_tpu.inference import build_fast_infer
+
+
+def test_fast_infer_matches_xla_fp32():
+    params, state = erfnet.init(jax.random.PRNGKey(0), 20)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 256, 3))
+
+    ref_fn = build_fast_infer(params, state, dtype=jnp.float32,
+                              use_pallas=False)
+    fast_fn = build_fast_infer(params, state, dtype=jnp.float32,
+                               use_pallas=True, interpret=True)
+    ref_logits, ref_pred = ref_fn(x)
+    logits, pred = fast_fn(x)
+    assert logits.shape == ref_logits.shape == (1, 128, 256, 20)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-3, atol=2e-3)
+    agree = (np.asarray(pred) == np.asarray(ref_pred)).mean()
+    assert agree > 0.999, agree
+
+
+def test_fast_infer_odd_shape_falls_back():
+    """Shapes the kernels can't take still produce correct results (XLA
+    fallback inside layer_fn)."""
+    params, state = erfnet.init(jax.random.PRNGKey(0), 20)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 48, 48, 3))
+    ref_fn = build_fast_infer(params, state, dtype=jnp.float32,
+                              use_pallas=False)
+    fast_fn = build_fast_infer(params, state, dtype=jnp.float32,
+                               use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(fast_fn(x)[0]),
+                               np.asarray(ref_fn(x)[0]),
+                               rtol=2e-3, atol=2e-3)
