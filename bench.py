@@ -43,17 +43,18 @@ def _timed_chain(fn, carry0, n_iters):
     return (time.perf_counter() - t0) / done
 
 
-def measure_infer(params, batch_stats, batch_size, iters=40):
-    from erfnet_pytorch_tpu.models import erfnet
+def measure_infer(params, batch_stats, batch_size, iters=40,
+                  use_pallas=True):
+    from erfnet_pytorch_tpu.inference import build_fast_infer
 
     x = jax.random.uniform(jax.random.PRNGKey(1),
                            (batch_size, 512, 1024, 3))
+    infer = build_fast_infer(params, batch_stats, dtype=jnp.bfloat16,
+                             use_pallas=use_pallas)
 
     @jax.jit
     def step(carry):
-        logits, _ = erfnet.apply(params, batch_stats, x + carry * 0.0,
-                                 train=False, compute_dtype=jnp.bfloat16)
-        pred = jnp.argmax(logits, -1)
+        _, pred = infer(x + carry * 0.0)
         return (pred.sum() % 1024).astype(jnp.float32)
 
     dt = _timed_chain(step, jnp.float32(0), iters)
@@ -94,10 +95,10 @@ def main():
 
     params, batch_stats = erfnet.init(jax.random.PRNGKey(0), 20)
     infer_b1 = measure_infer(params, batch_stats, 1, iters=30)
-    infer_b16 = measure_infer(params, batch_stats, 16, iters=30)
+    infer_b8 = measure_infer(params, batch_stats, 8, iters=24)
     train_b6 = measure_train(6, iters=10)
 
-    value = infer_b16
+    value = infer_b8
     print(json.dumps({
         "metric": "cityscapes_512x1024_inference_images_per_sec_per_chip",
         "value": round(value, 2),
@@ -105,7 +106,7 @@ def main():
         "vs_baseline": round(value / BASELINE_FPS, 2),
         "extras": {
             "infer_fps_batch1": round(infer_b1, 2),
-            "infer_fps_batch16": round(infer_b16, 2),
+            "infer_fps_batch8_pallas": round(infer_b8, 2),
             "train_images_per_sec_batch6": round(train_b6, 2),
             "device": jax.devices()[0].device_kind,
             "dtype": "bfloat16",

@@ -42,6 +42,8 @@ def build_parser():
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas kernels for eligible blocks")
     return p
 
 
@@ -70,14 +72,15 @@ def main(argv=None):
     params, batch_stats = load_any_weights(weights_path)
     print("Model and weights LOADED successfully")
 
-    infer = make_color_infer(jnp.bfloat16 if args.bf16 else None)
+    from ..streaming import StreamingSegmenter
+    seg = StreamingSegmenter(params, batch_stats,
+                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                             use_pallas=args.pallas, output="color")
     ds = CityscapesDataset(args.datadir, args.subset, height=args.height)
-    dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers,
-                    pad_final=True)
-    for images, _labels, rels, n_valid in dl:
-        rgb = np.asarray(infer(params, batch_stats, images))
-        for i in range(n_valid):
-            out_path = os.path.join(args.outdir, rels[i])
+    dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers)
+    for rgb, rels in seg.run(dl):
+        for i, rel in enumerate(rels):
+            out_path = os.path.join(args.outdir, rel)
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
             Image.fromarray(rgb[i]).save(out_path)
             print(out_path)

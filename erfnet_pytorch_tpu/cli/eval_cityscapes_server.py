@@ -37,6 +37,8 @@ def build_parser():
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas kernels for eligible blocks")
     return p
 
 
@@ -64,14 +66,16 @@ def main(argv=None):
     params, batch_stats = load_any_weights(weights_path)
     print("Model and weights LOADED successfully")
 
-    infer = make_server_infer(jnp.bfloat16 if args.bf16 else None)
+    from ..streaming import StreamingSegmenter
+    seg = StreamingSegmenter(params, batch_stats,
+                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                             use_pallas=args.pallas, output="labelId")
     ds = CityscapesDataset(args.datadir, args.subset, height=args.height)
-    dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers,
-                    pad_final=True)
-    for images, _labels, rels, n_valid in dl:
-        ids = np.asarray(infer(params, batch_stats, images)).astype(np.uint8)
-        for i in range(n_valid):
-            out_path = os.path.join(args.outdir, rels[i])
+    dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers)
+    for ids, rels in seg.run(dl):
+        ids = ids.astype(np.uint8)
+        for i, rel in enumerate(rels):
+            out_path = os.path.join(args.outdir, rel)
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
             Image.fromarray(ids[i], mode="L").save(out_path)
             print(out_path)

@@ -33,12 +33,21 @@ def build_parser():
     p.add_argument("--state", help="optional weights (default: random init)")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas kernels for eligible blocks")
     return p
 
 
 def benchmark(params, batch_stats, *, batch_size, height, width,
-              warmup, iterations, compute_dtype):
-    infer = make_infer_fn(erfnet, compute_dtype=compute_dtype)
+              warmup, iterations, compute_dtype, use_pallas=False):
+    if use_pallas:
+        from ..inference import build_fast_infer
+        fast = build_fast_infer(params, batch_stats,
+                                dtype=compute_dtype or jnp.float32,
+                                use_pallas=True)
+        infer = lambda p, s, x: fast(x)
+    else:
+        infer = make_infer_fn(erfnet, compute_dtype=compute_dtype)
     # a pool of distinct inputs so no result can be cached/folded
     keys = jax.random.split(jax.random.PRNGKey(0), 4)
     xs = [jax.random.uniform(k, (batch_size, height, width, 3)) for k in keys]
@@ -69,7 +78,8 @@ def main(argv=None):
     dt = benchmark(params, batch_stats, batch_size=args.batch_size,
                    height=args.height, width=args.width, warmup=args.warmup,
                    iterations=args.iterations,
-                   compute_dtype=jnp.bfloat16 if args.bf16 else None)
+                   compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                   use_pallas=args.pallas)
     per_img = dt / args.batch_size
     print(f"device: {jax.devices()[0].device_kind}, "
           f"input {args.batch_size}x{args.height}x{args.width}, "

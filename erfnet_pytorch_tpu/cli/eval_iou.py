@@ -43,6 +43,8 @@ def build_parser():
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas kernels for eligible blocks")
     return p
 
 
@@ -58,8 +60,11 @@ def main(argv=None):
     params, batch_stats = load_any_weights(weights_path)
     print("Model and weights LOADED successfully")
 
-    infer = make_infer_fn(erfnet,
-                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    from ..inference import build_fast_infer
+    infer = build_fast_infer(
+        params, batch_stats,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        use_pallas=args.pallas)
 
     ds = CityscapesDataset(args.datadir, args.subset, height=args.height)
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers,
@@ -68,7 +73,7 @@ def main(argv=None):
 
     start = time.time()
     for bidx, (images, labels, rels, n_valid) in enumerate(dl):
-        _, preds = infer(params, batch_stats, images)
+        _, preds = infer(images)
         _, labels = co_transform(None, images, labels, augment=False)
         ev.add_batch(preds[:n_valid], labels[:n_valid])
         if bidx % 25 == 0:

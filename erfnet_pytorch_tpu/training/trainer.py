@@ -53,6 +53,10 @@ class TrainConfig:
     compute_dtype: Any = None          # e.g. jnp.bfloat16
     mesh: Any = None                   # jax Mesh; default: all devices
     log_fn: Callable[[str], None] = print
+    visualize: bool = False            # visdom Dashboard (reference --visualize)
+    port: int = 8097
+    steps_plot: int = 50
+    tensorboard: bool = False          # TensorBoardWriter scalars
 
 
 def train_stage(cfg: TrainConfig, *, enc: bool,
@@ -91,6 +95,16 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
     dl_val = DataLoader(ds_val, cfg.batch_size, shuffle=False,
                         num_workers=cfg.num_workers, pad_final=True,
                         sharding=bsh)
+
+    board = None
+    if cfg.visualize:
+        from .visualize import Dashboard
+        board = Dashboard(cfg.port)
+    tb = None
+    if cfg.tensorboard:
+        from ..utils.profiling import TensorBoardWriter
+        tb = TensorBoardWriter(os.path.join(cfg.savedir, "tb",
+                                            "enc" if enc else "dec"))
 
     ckpt = CheckpointManager(cfg.savedir, enc)
     log_path = os.path.join(
@@ -141,6 +155,11 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
                 t_per_img = (time.time() - t_start) / max(n_imgs, 1)
                 log(f"loss: {avg:.4f} (epoch: {epoch}, step: {bidx}) "
                     f"// Avg time/img: {t_per_img:.4f} s")
+            if board is not None and cfg.steps_plot > 0 \
+                    and bidx % cfg.steps_plot == 0:
+                board.loss([float(l) for l in epoch_loss],
+                           f"train loss (stage {'enc' if enc else 'dec'})")
+                board.image(np.asarray(images[0]), "input image")
         avg_loss_train = float(np.mean([float(l) for l in epoch_loss]))
         iou_train_val = 0.0
         if cfg.iou_train:
@@ -183,6 +202,12 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
             f.write(f"\n{epoch}\t\t{avg_loss_train:.4f}\t\t"
                     f"{avg_loss_val:.4f}\t\t{iou_train_val:.4f}\t\t"
                     f"{iou_val_val:.4f}\t\t{lr:.8f}")
+        if tb is not None:
+            tb.scalar("loss/train", avg_loss_train, epoch)
+            tb.scalar("loss/val", avg_loss_val, epoch)
+            tb.scalar("iou/val", iou_val_val, epoch)
+            tb.scalar("lr", lr, epoch)
+            tb.flush()
     return ts
 
 

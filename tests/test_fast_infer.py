@@ -38,3 +38,27 @@ def test_fast_infer_odd_shape_falls_back():
     np.testing.assert_allclose(np.asarray(fast_fn(x)[0]),
                                np.asarray(ref_fn(x)[0]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_streaming_segmenter(fake_cityscapes):
+    from erfnet_pytorch_tpu.streaming import StreamingSegmenter
+    from erfnet_pytorch_tpu.data.cityscapes import CityscapesDataset
+    from erfnet_pytorch_tpu.data.loader import DataLoader
+
+    params, state = erfnet.init(jax.random.PRNGKey(0), 20)
+    seg = StreamingSegmenter(params, state, dtype=jnp.float32,
+                             use_pallas=False, output="color")
+    ds = CityscapesDataset(fake_cityscapes, "val", height=64)
+    dl = DataLoader(ds, 2, num_workers=2)
+    outs = list(seg.run(dl))
+    assert len(outs) == 3
+    rgb, rels = outs[0]
+    assert rgb.shape == (2, 64, 128, 3) and rgb.dtype == np.uint8
+    assert len(rels) == 2
+
+    seg = StreamingSegmenter(params, state, dtype=jnp.float32,
+                             use_pallas=False, output="labelId")
+    ids, _ = next(iter(seg.run(DataLoader(ds, 2, num_workers=2))))
+    valid = {7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28,
+             31, 32, 33, 0}
+    assert set(np.unique(ids)).issubset(valid)
