@@ -94,6 +94,8 @@ def _make_layer_fn(prepared, dtype, interpret, train_fallback_specs):
 def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
                      use_pallas=True, interpret=False):
     """Returns jitted infer(images) -> (logits, preds)."""
+    # compiled Pallas requires a TPU; CPU gets the (slow) interpreter
+    interpret = interpret or jax.default_backend() == "cpu"
     if not use_pallas:
         @jax.jit
         def infer_xla(images):
