@@ -25,7 +25,8 @@ from .models.erfnet import (ENCODER_LAYER_SPECS, DECODER_LAYER_SPECS,
                             apply_downsampler, apply_upsampler,
                             apply_non_bottleneck_1d)
 from .ops.pallas.nb1d import (fuse_nb1d_params, nb1d_infer,
-                              nb1d_infer_packed)
+                              nb1d_infer_packed, nb1d_stack_infer,
+                              stack_nb1d_params)
 from .ops.packed import pack_nb1d_for_pallas
 
 # Map-size budget for whole-image-in-VMEM kernels (bf16 bytes of the packed
@@ -64,8 +65,37 @@ def _eligible(shape, p):
             and h * (w // p) * (c * p) <= _MAX_MAP_ELEMS)
 
 
-def _make_layer_fn(prepared, dtype, interpret, train_fallback_specs):
+def _find_stack(specs, layers_params, layers_state, dtype):
+    """Longest run of consecutive plain (C=128) NB1d blocks -> one fused
+    multi-block kernel. Returns (start, covered_set, stacked, dils)."""
+    best = None
+    run = []
+    for i, (kind, args) in enumerate(specs + [("end", ())]):
+        if kind == "nb1d" and args[0] == 128:
+            run.append(i)
+        else:
+            if len(run) >= 2 and (best is None or len(run) > len(best)):
+                best = list(run)
+            run = []
+    if best is None:
+        return None
+    fused = [fuse_nb1d_params(layers_params[i], layers_state[i])
+             for i in best]
+    stacked = stack_nb1d_params(fused, dtype=dtype)
+    dils = tuple(specs[i][1][2] for i in best)
+    return best[0], set(best), stacked, dils
+
+
+def _make_layer_fn(prepared, dtype, interpret, specs, stack=None):
     def layer_fn(kind, i, params, state, x, spec):
+        if stack is not None:
+            start, covered, stacked, dils = stack
+            if i == start and _eligible(x.shape, 1):
+                return (nb1d_stack_infer(x.astype(dtype), stacked,
+                                         dils=dils, interpret=interpret),
+                        state)
+            if i in covered and i != start and _eligible(x.shape, 1):
+                return x, state  # consumed by the stack at `start`
         if kind == "down":
             return apply_downsampler(params, state, x, train=False,
                                      compute_dtype=dtype)
@@ -110,7 +140,11 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
     dec_prep = _prepare(params["decoder"]["layers"],
                         batch_stats["decoder"]["layers"],
                         DECODER_LAYER_SPECS, dtype)
-    enc_fn = _make_layer_fn(enc_prep, dtype, interpret, ENCODER_LAYER_SPECS)
+    enc_stack = _find_stack(ENCODER_LAYER_SPECS,
+                            params["encoder"]["layers"],
+                            batch_stats["encoder"]["layers"], dtype)
+    enc_fn = _make_layer_fn(enc_prep, dtype, interpret, ENCODER_LAYER_SPECS,
+                            stack=enc_stack)
     dec_fn = _make_layer_fn(dec_prep, dtype, interpret, DECODER_LAYER_SPECS)
 
     @jax.jit

@@ -177,6 +177,67 @@ def nb1d_infer_packed(x, packed_w, *, p: int, dilated: int, s2: int,
     return out.reshape(B, H, W, C)
 
 
+def _nb1d_stack_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref, *,
+                       dils, H: int, W: int, C: int):
+    """K sequential NB1d blocks, all VMEM-resident: one HBM read, one write
+    for the whole dilated stage (vs 2 per block).  Weight refs are stacked
+    (K, 3, C, C) / (K, C); dils is the static dilation tuple."""
+    x = x_ref[0]
+    for k, d in enumerate(dils):
+        xf = x.reshape(H * W, C)
+        t = _taps_h(xf, w1[k], 1, W, True, b1[k])
+        t = _taps_w(t.reshape(H, W, C).astype(x.dtype), w2[k], 1, H, W, C,
+                    True, b2[k])
+        t = _taps_h(t.reshape(H * W, C).astype(x.dtype), w3[k], d, W, True,
+                    b3[k])
+        t = _taps_w(t.reshape(H, W, C).astype(x.dtype), w4[k], d, H, W, C,
+                    False, b4[k])
+        x = jax.nn.relu(t + x.astype(jnp.float32)).astype(x.dtype)
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dils", "interpret"))
+def nb1d_stack_infer(x, stacked, *, dils, interpret: bool = False):
+    """Fused run of len(dils) NB1d blocks. stacked: dict of (K,3,C,C) /
+    (K,C) arrays (see stack_nb1d_params)."""
+    B, H, W, C = x.shape
+    K = len(dils)
+    kernel = functools.partial(_nb1d_stack_kernel, dils=dils, H=H, W=W, C=C)
+    wspec = pl.BlockSpec((K, 3, C, C), lambda b: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((K, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec,
+        ],
+        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=K * 12 * 2 * H * W * C * C,
+            bytes_accessed=2 * H * W * C * x.dtype.itemsize
+            + K * 12 * C * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
+      stacked["w3"], stacked["b3"], stacked["w4"], stacked["b4"])
+
+
+def stack_nb1d_params(fused_list, dtype=jnp.float32):
+    """[fuse_nb1d_params outputs] -> stacked (K,3,C,C)/(K,C) arrays."""
+    out = {}
+    for key in ("w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4"):
+        out[key] = jnp.stack([jnp.asarray(f[key], dtype)
+                              for f in fused_list])
+    return out
+
+
 def make_encoder_layer_fn(encoder_params, encoder_state, *,
                           dtype=jnp.float32, interpret: bool = False):
     """Build a layer_fn for models.erfnet.apply_encoder that routes eligible
