@@ -28,6 +28,8 @@ from .ops.pallas.nb1d import (fuse_nb1d_params, nb1d_infer,
                               nb1d_infer_packed, nb1d_stack_infer,
                               stack_nb1d_params)
 from .ops.packed import pack_nb1d_for_pallas
+from .ops.convt_mm import (build_upsampler_matmul, apply_upsampler_matmul,
+                           build_head_matmul, apply_head_matmul)
 
 # Map-size budget for whole-image-in-VMEM kernels (bf16 bytes of the packed
 # view); larger activations fall back to XLA.
@@ -86,7 +88,8 @@ def _find_stack(specs, layers_params, layers_state, dtype):
     return best[0], set(best), stacked, dils
 
 
-def _make_layer_fn(prepared, dtype, interpret, specs, stack=None):
+def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
+                   up_matmuls=None):
     def layer_fn(kind, i, params, state, x, spec):
         if stack is not None:
             start, covered, stacked, dils = stack
@@ -100,6 +103,10 @@ def _make_layer_fn(prepared, dtype, interpret, specs, stack=None):
             return apply_downsampler(params, state, x, train=False,
                                      compute_dtype=dtype)
         if kind == "up":
+            if up_matmuls is not None and i in up_matmuls:
+                Wcat, bias = up_matmuls[i]
+                return apply_upsampler_matmul(x.astype(dtype), Wcat, bias,
+                                              relu=True), state
             return apply_upsampler(params, state, x, train=False,
                                    compute_dtype=dtype)
         c, _drop, dil = spec
@@ -143,16 +150,30 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
     enc_stack = _find_stack(ENCODER_LAYER_SPECS,
                             params["encoder"]["layers"],
                             batch_stats["encoder"]["layers"], dtype)
+    up_matmuls = {}
+    for i, (kind, _args) in enumerate(DECODER_LAYER_SPECS):
+        if kind == "up":
+            lp = params["decoder"]["layers"][i]
+            ls = batch_stats["decoder"]["layers"][i]
+            up_matmuls[i] = build_upsampler_matmul(
+                lp["conv"]["w"], lp["conv"]["b"], lp["bn"], ls["bn"],
+                dtype=dtype)
+    head_W, head_b = build_head_matmul(
+        params["decoder"]["output_conv"]["w"],
+        params["decoder"]["output_conv"]["b"], dtype=dtype)
+
     enc_fn = _make_layer_fn(enc_prep, dtype, interpret, ENCODER_LAYER_SPECS,
                             stack=enc_stack)
-    dec_fn = _make_layer_fn(dec_prep, dtype, interpret, DECODER_LAYER_SPECS)
+    dec_fn = _make_layer_fn(dec_prep, dtype, interpret, DECODER_LAYER_SPECS,
+                            up_matmuls=up_matmuls)
 
     @jax.jit
     def infer(images):
-        logits, _ = erfnet.apply(params, batch_stats, images, train=False,
-                                 compute_dtype=dtype,
-                                 encoder_layer_fn=enc_fn,
-                                 decoder_layer_fn=dec_fn)
+        logits, _ = erfnet.apply(
+            params, batch_stats, images, train=False, compute_dtype=dtype,
+            encoder_layer_fn=enc_fn, decoder_layer_fn=dec_fn,
+            decoder_output_conv_fn=lambda y: apply_head_matmul(
+                y.astype(dtype), head_W, head_b))
         return logits, jnp.argmax(logits, -1)
 
     return infer

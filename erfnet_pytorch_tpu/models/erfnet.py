@@ -197,7 +197,7 @@ def init_decoder(key, num_classes):
 
 
 def apply_decoder(params, state, x, *, train=False, rng=None,
-                  compute_dtype=None, layer_fn=None):
+                  compute_dtype=None, layer_fn=None, output_conv_fn=None):
     y = x
     new_layers = []
     for i, (kind, args) in enumerate(DECODER_LAYER_SPECS):
@@ -214,9 +214,12 @@ def apply_decoder(params, state, x, *, train=False, rng=None,
                                             dropprob=drop, train=train,
                                             rng=r, compute_dtype=compute_dtype)
         new_layers.append(ns)
-    y = conv_transpose2d(y, params["output_conv"]["w"],
-                         params["output_conv"]["b"], stride=2, padding=0,
-                         output_padding=0, compute_dtype=compute_dtype)
+    if output_conv_fn is not None:
+        y = output_conv_fn(y)
+    else:
+        y = conv_transpose2d(y, params["output_conv"]["w"],
+                             params["output_conv"]["b"], stride=2, padding=0,
+                             output_padding=0, compute_dtype=compute_dtype)
     return y, {"layers": new_layers}
 
 
@@ -233,7 +236,8 @@ def init(key, num_classes=20, encoder=None):
 
 
 def apply(params, state, x, *, train=False, rng=None, only_encode=False,
-          compute_dtype=None, encoder_layer_fn=None, decoder_layer_fn=None):
+          compute_dtype=None, encoder_layer_fn=None, decoder_layer_fn=None,
+          decoder_output_conv_fn=None):
     """Forward pass. x: (B, H, W, 3) -> logits (B, H', W', num_classes).
 
     only_encode=True mirrors ``Net.forward(input, only_encode=True)``:
@@ -250,5 +254,6 @@ def apply(params, state, x, *, train=False, rng=None, only_encode=False,
                           layer_fn=encoder_layer_fn)
     y, ds = apply_decoder(params["decoder"], state["decoder"], y, train=train,
                           rng=rng, compute_dtype=compute_dtype,
-                          layer_fn=decoder_layer_fn)
+                          layer_fn=decoder_layer_fn,
+                          output_conv_fn=decoder_output_conv_fn)
     return y, {"encoder": es, "decoder": ds}

@@ -1,0 +1,109 @@
+"""Stride-2 transposed convolutions as parity-plane matmuls.
+
+A ConvTranspose2d(k=3, s=2, p=1, op=1) writes each output parity plane
+(a, b) from at most 4 input neighbors — so the whole upsampler collapses to
+ONE dense matmul on the MXU:
+
+    out[2i+a, 2j+b] = [x, x_h+1, x_w+1, x_hw+1][i, j] @ Wcat[:, (a, b)]
+
+with Wcat a (4*Cin, 4*Cout) block matrix of the 9 kernel taps (zeros where
+a parity plane has no tap) and a free depth-to-space at the end.  K=4*Cin
+and N=4*Cout land in the MXU's happy zone (512x256 for the 128->64
+upsampler vs the naive K=128/N=64), and inference BatchNorm folds straight
+into Wcat/bias.
+
+The k=2, s=2 head (Decoder.output_conv) is the 1-tap special case:
+out(a, b) = x @ w[1-a, 1-b].
+
+Derivation (forward-conv view of our HWIO-flipped storage, verified against
+torch ConvTranspose2d in tests): dilated input g = 2i', window t in 0..2
+with lo-pad 1 -> plane a uses taps t = 1-a (m=0) and t = 3-a (m=+1, only
+for a=1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _fold(w, b, bn_params=None, bn_state=None, eps=1e-3):
+    if bn_params is None:
+        return np.asarray(w, np.float32), np.asarray(b, np.float32)
+    from .batchnorm import fold_batch_norm
+    w2, b2 = fold_batch_norm(jnp.asarray(w), jnp.asarray(b), bn_params,
+                             bn_state, eps=eps)
+    return np.asarray(w2, np.float32), np.asarray(b2, np.float32)
+
+
+def build_upsampler_matmul(w_hwio, b, bn_params=None, bn_state=None,
+                           dtype=jnp.float32):
+    """ConvTranspose2d(Cin, Cout, 3, s2, p1, op1) [+ folded BN] ->
+    (Wcat (4Cin, 4Cout), bias (4Cout,)).
+
+    Row blocks: [x, x_h+1, x_w+1, x_hw+1]; col blocks: planes (a, b)
+    row-major.  w_hwio is the forward-conv-equivalent HWIO storage of
+    ops/conv.py (spatially flipped torch weight)."""
+    w, b = _fold(w_hwio, b, bn_params, bn_state)
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    Wcat = np.zeros((4 * cin, 4 * cout), np.float32)
+
+    def block(row, a, bb, tap_h, tap_w):
+        Wcat[row * cin:(row + 1) * cin,
+             (a * 2 + bb) * cout:(a * 2 + bb + 1) * cout] = w[tap_h, tap_w]
+
+    # plane taps: a=0 -> t_h=1 (m=0); a=1 -> t_h=0 (m=0), t_h=2 (m=+1)
+    for a in (0, 1):
+        for bb in (0, 1):
+            # (m_h, m_w) -> row index in [x, x_h, x_w, x_hw]
+            for m_h, t_h in (((0, 1),) if a == 0 else ((0, 0), (1, 2))):
+                for m_w, t_w in (((0, 1),) if bb == 0 else ((0, 0), (1, 2))):
+                    row = {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3}[
+                        (m_h, m_w)]
+                    block(row, a, bb, t_h, t_w)
+    bias = np.tile(b, 4)
+    return jnp.asarray(Wcat, dtype), jnp.asarray(bias, jnp.float32)
+
+
+def apply_upsampler_matmul(x, Wcat, bias, *, relu=True):
+    """x: (B, H, W, Cin) -> (B, 2H, 2W, Cout)."""
+    B, H, W, cin = x.shape
+    cout = Wcat.shape[1] // 4
+    zh = jnp.zeros((B, 1, W, cin), x.dtype)
+    zw = jnp.zeros((B, H, 1, cin), x.dtype)
+    xh = jnp.concatenate([x[:, 1:], zh], axis=1)          # x[i+1, j]
+    xw = jnp.concatenate([x[:, :, 1:], zw], axis=2)       # x[i, j+1]
+    xhw = jnp.concatenate([xh[:, :, 1:], zw], axis=2)     # x[i+1, j+1]
+    xcat = jnp.concatenate([x, xh, xw, xhw], axis=-1)     # (B,H,W,4Cin)
+    y = jnp.dot(xcat.reshape(-1, 4 * cin), Wcat.astype(xcat.dtype),
+                preferred_element_type=jnp.float32) + bias
+    if relu:
+        y = jax.nn.relu(y)
+    y = y.reshape(B, H, W, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, 2 * H, 2 * W, cout).astype(x.dtype)
+
+
+def build_head_matmul(w_hwio, b, dtype=jnp.float32):
+    """ConvTranspose2d(Cin, Cout, 2, s2) -> (W (Cin, 4Cout), bias)."""
+    w = np.asarray(w_hwio, np.float32)
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (2, 2)
+    W = np.zeros((cin, 4 * cout), np.float32)
+    for a in (0, 1):
+        for bb in (0, 1):
+            W[:, (a * 2 + bb) * cout:(a * 2 + bb + 1) * cout] = \
+                w[1 - a, 1 - bb]
+    bias = np.tile(np.asarray(b, np.float32), 4)
+    return jnp.asarray(W, dtype), jnp.asarray(bias, jnp.float32)
+
+
+def apply_head_matmul(x, W, bias):
+    """x: (B, H, W, Cin) -> (B, 2H, 2W, Cout) logits (f32)."""
+    B, H, Wd, cin = x.shape
+    cout = W.shape[1] // 4
+    y = jnp.dot(x.reshape(-1, cin), W.astype(x.dtype),
+                preferred_element_type=jnp.float32) + bias
+    y = y.reshape(B, H, Wd, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, 2 * H, 2 * Wd, cout)
