@@ -22,7 +22,7 @@ import numpy as np
 from ..data.cityscapes import CityscapesDataset
 from ..data.loader import DataLoader
 from ..metrics.iou import IouEval, get_color_entry, colors
-from ..models import erfnet
+from ..models import erfnet, get_model
 from ..parallel.mesh import make_mesh_for_batch, batch_sharding, replicate
 from .class_weights import get_class_weights
 from . import optim
@@ -71,7 +71,7 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
     mesh = cfg.mesh if cfg.mesh is not None else make_mesh_for_batch(cfg.batch_size)
     bsh = batch_sharding(mesh)
 
-    model = erfnet
+    model = get_model(cfg.model)
     optimizer = optim.make_adam(cfg.lr, cfg.weight_decay)
     rng = jax.random.PRNGKey(cfg.seed)
     ts = create_train_state(model, rng, cfg.num_classes, optimizer,
