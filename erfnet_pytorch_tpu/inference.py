@@ -129,7 +129,11 @@ def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
 
 
 def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
-                     use_pallas=True, interpret=False):
+                     use_pallas=True, interpret=False, use_stack=True,
+                     use_convt_mm=False):
+    # use_convt_mm: the parity-plane matmul formulation measured SLOWER than
+    # XLA's conv_transpose on v5e (the 4 shifted input copies round-trip
+    # HBM); kept for the future VMEM-resident kernel variant.
     """Returns jitted infer(images) -> (logits, preds)."""
     # compiled Pallas requires a TPU; CPU gets the (slow) interpreter
     interpret = interpret or jax.default_backend() == "cpu"
@@ -147,20 +151,27 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
     dec_prep = _prepare(params["decoder"]["layers"],
                         batch_stats["decoder"]["layers"],
                         DECODER_LAYER_SPECS, dtype)
-    enc_stack = _find_stack(ENCODER_LAYER_SPECS,
-                            params["encoder"]["layers"],
-                            batch_stats["encoder"]["layers"], dtype)
-    up_matmuls = {}
-    for i, (kind, _args) in enumerate(DECODER_LAYER_SPECS):
-        if kind == "up":
-            lp = params["decoder"]["layers"][i]
-            ls = batch_stats["decoder"]["layers"][i]
-            up_matmuls[i] = build_upsampler_matmul(
-                lp["conv"]["w"], lp["conv"]["b"], lp["bn"], ls["bn"],
-                dtype=dtype)
-    head_W, head_b = build_head_matmul(
-        params["decoder"]["output_conv"]["w"],
-        params["decoder"]["output_conv"]["b"], dtype=dtype)
+    enc_stack = None
+    if use_stack:
+        enc_stack = _find_stack(ENCODER_LAYER_SPECS,
+                                params["encoder"]["layers"],
+                                batch_stats["encoder"]["layers"], dtype)
+    up_matmuls = None
+    head_fn = None
+    if use_convt_mm:
+        up_matmuls = {}
+        for i, (kind, _args) in enumerate(DECODER_LAYER_SPECS):
+            if kind == "up":
+                lp = params["decoder"]["layers"][i]
+                ls = batch_stats["decoder"]["layers"][i]
+                up_matmuls[i] = build_upsampler_matmul(
+                    lp["conv"]["w"], lp["conv"]["b"], lp["bn"], ls["bn"],
+                    dtype=dtype)
+        head_W, head_b = build_head_matmul(
+            params["decoder"]["output_conv"]["w"],
+            params["decoder"]["output_conv"]["b"], dtype=dtype)
+        head_fn = lambda y: apply_head_matmul(y.astype(dtype), head_W,
+                                              head_b)
 
     enc_fn = _make_layer_fn(enc_prep, dtype, interpret, ENCODER_LAYER_SPECS,
                             stack=enc_stack)
@@ -172,8 +183,7 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
         logits, _ = erfnet.apply(
             params, batch_stats, images, train=False, compute_dtype=dtype,
             encoder_layer_fn=enc_fn, decoder_layer_fn=dec_fn,
-            decoder_output_conv_fn=lambda y: apply_head_matmul(
-                y.astype(dtype), head_W, head_b))
+            decoder_output_conv_fn=head_fn)
         return logits, jnp.argmax(logits, -1)
 
     return infer
