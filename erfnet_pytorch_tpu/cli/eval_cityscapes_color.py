@@ -21,6 +21,7 @@ from ..data.cityscapes import CityscapesDataset
 from ..data.loader import DataLoader
 from ..data.transforms import CITYSCAPES_PALETTE
 from ..models import erfnet
+from ..ops.argmax import fast_argmax
 from ..training.checkpoint import load_any_weights
 
 NUM_CLASSES = 20
@@ -54,7 +55,7 @@ def make_color_infer(compute_dtype=None):
     def infer(params, batch_stats, images):
         logits, _ = erfnet.apply(params, batch_stats, images, train=False,
                                  compute_dtype=compute_dtype)
-        pred = jnp.argmax(logits, -1)
+        pred = fast_argmax(logits)
         return jnp.take(pal, pred, axis=0)  # uint8 (B, H, W, 3) on device
 
     return infer

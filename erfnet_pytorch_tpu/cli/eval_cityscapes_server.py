@@ -18,6 +18,7 @@ from ..data.cityscapes import CityscapesDataset
 from ..data.loader import DataLoader
 from ..data.transforms import TRAINID_TO_LABELID
 from ..models import erfnet
+from ..ops.argmax import fast_argmax
 from ..training.checkpoint import load_any_weights
 
 
@@ -49,7 +50,7 @@ def make_server_infer(compute_dtype=None):
     def infer(params, batch_stats, images):
         logits, _ = erfnet.apply(params, batch_stats, images, train=False,
                                  compute_dtype=compute_dtype)
-        return jnp.take(remap, jnp.argmax(logits, -1), axis=0)
+        return jnp.take(remap, fast_argmax(logits), axis=0)
 
     return infer
 

@@ -28,6 +28,7 @@ from .ops.pallas.nb1d import (fuse_nb1d_params, nb1d_infer,
                               nb1d_infer_packed, nb1d_stack_infer,
                               stack_nb1d_params)
 from .ops.packed import pack_nb1d_for_pallas
+from .ops.argmax import fast_argmax
 from .ops.convt_mm import (build_upsampler_matmul, apply_upsampler_matmul,
                            build_head_matmul, apply_head_matmul)
 
@@ -142,7 +143,7 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
         def infer_xla(images):
             logits, _ = erfnet.apply(params, batch_stats, images,
                                      train=False, compute_dtype=dtype)
-            return logits, jnp.argmax(logits, -1)
+            return logits, fast_argmax(logits)
         return infer_xla
 
     enc_prep = _prepare(params["encoder"]["layers"],
@@ -184,6 +185,6 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
             params, batch_stats, images, train=False, compute_dtype=dtype,
             encoder_layer_fn=enc_fn, decoder_layer_fn=dec_fn,
             decoder_output_conv_fn=head_fn)
-        return logits, jnp.argmax(logits, -1)
+        return logits, fast_argmax(logits)
 
     return infer

@@ -9,3 +9,4 @@ from .conv import (
 from .batchnorm import batch_norm, init_batch_norm, fold_batch_norm
 from .dropout import dropout2d
 from .loss import weighted_log_softmax_nll, cross_entropy
+from .argmax import fast_argmax

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..ops.argmax import fast_argmax
 from ..ops.loss import weighted_log_softmax_nll
 from ..ops.augment import co_transform
 
@@ -67,7 +68,7 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         params = optax.apply_updates(ts.params, updates)
         new_ts = TrainState(params, new_stats, opt_state, ts.step + 1)
         if with_pred:
-            return new_ts, loss, jnp.argmax(logits, -1), labels
+            return new_ts, loss, fast_argmax(logits), labels
         return new_ts, loss
 
     return step
@@ -86,7 +87,7 @@ def make_eval_step(model, class_weights, *, enc: bool, compute_dtype=None):
                                 train=False, only_encode=enc,
                                 compute_dtype=compute_dtype)
         loss = weighted_log_softmax_nll(logits, labels, cw)
-        return loss, jnp.argmax(logits, -1), labels
+        return loss, fast_argmax(logits), labels
 
     return eval_step
 
@@ -100,6 +101,6 @@ def make_infer_fn(model, *, compute_dtype=None, encoder_layer_fn=None):
         logits, _ = model.apply(params, batch_stats, images, train=False,
                                 compute_dtype=compute_dtype,
                                 encoder_layer_fn=encoder_layer_fn)
-        return logits, jnp.argmax(logits, -1)
+        return logits, fast_argmax(logits)
 
     return infer

@@ -62,3 +62,14 @@ def test_streaming_segmenter(fake_cityscapes):
     valid = {7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28,
              31, 32, 33, 0}
     assert set(np.unique(ids)).issubset(valid)
+
+
+def test_fast_argmax_matches_jnp_argmax():
+    from erfnet_pytorch_tpu.inference import fast_argmax
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 9, 20))
+    np.testing.assert_array_equal(np.asarray(fast_argmax(x)),
+                                  np.asarray(jnp.argmax(x, -1)))
+    # ties -> first index, like jnp.argmax
+    t = jnp.zeros((1, 3, 3, 20))
+    np.testing.assert_array_equal(np.asarray(fast_argmax(t)),
+                                  np.asarray(jnp.argmax(t, -1)))
