@@ -60,6 +60,9 @@ def build_parser():
     p.add_argument("--devices", type=int, default=None,
                    help="data-parallel mesh size (default: all chips)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cache-dir", default="",
+                   help="decoded-sample cache dir (big speedup on "
+                        "few-core hosts from epoch 2 on)")
     p.add_argument("--tensorboard", action="store_true",
                    help="write tensorboard scalars under savedir/tb/")
     return p
@@ -84,6 +87,7 @@ def main(argv=None):
         iou_val=args.iouVal, resume=args.resume, seed=args.seed,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         mesh=make_mesh(args.devices) if args.devices else None,
+        cache_dir=args.cache_dir,
         visualize=args.visualize, port=args.port,
         steps_plot=args.steps_plot, tensorboard=args.tensorboard,
     )

@@ -32,10 +32,12 @@ def batch_norm(x, params, state, *, train, eps=1e-3, momentum=0.1):
     scale = params["scale"].astype(jnp.float32)
     bias = params["bias"].astype(jnp.float32)
     if train:
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+        # f32-accumulated reductions WITHOUT materializing an f32 copy of x
+        # (keeps bf16 activations bf16 on the HBM path)
         n = x.shape[0] * x.shape[1] * x.shape[2]
+        mean = jnp.sum(x, axis=(0, 1, 2), dtype=jnp.float32) / n
+        var = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2),
+                      dtype=jnp.float32) / n - jnp.square(mean)
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
@@ -46,8 +48,9 @@ def batch_norm(x, params, state, *, train, eps=1e-3, momentum=0.1):
         var = state["var"].astype(jnp.float32)
         new_state = state
     inv = scale * jnp.reciprocal(jnp.sqrt(var + eps))
-    y = x.astype(jnp.float32) * inv + (bias - mean * inv)
-    return y.astype(x.dtype), new_state
+    a = inv.astype(x.dtype)
+    b = (bias - mean * inv).astype(x.dtype)
+    return x * a + b, new_state
 
 
 def fold_batch_norm(w, b, bn_params, bn_state, *, eps=1e-3):

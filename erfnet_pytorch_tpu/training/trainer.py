@@ -53,6 +53,7 @@ class TrainConfig:
     compute_dtype: Any = None          # e.g. jnp.bfloat16
     mesh: Any = None                   # jax Mesh; default: all devices
     log_fn: Callable[[str], None] = print
+    cache_dir: str = ""                # decoded-sample cache (data/cache.py)
     visualize: bool = False            # visdom Dashboard (reference --visualize)
     port: int = 8097
     steps_plot: int = 50
@@ -88,6 +89,12 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
 
     ds_train = CityscapesDataset(cfg.datadir, "train", height=cfg.height)
     ds_val = CityscapesDataset(cfg.datadir, "val", height=cfg.height)
+    if cfg.cache_dir:
+        from ..data.cache import CachedDataset
+        ds_train = CachedDataset(ds_train, cfg.cache_dir,
+                                 tag=f"train_h{cfg.height}")
+        ds_val = CachedDataset(ds_val, cfg.cache_dir,
+                               tag=f"val_h{cfg.height}")
     log(f"dataset: {len(ds_train)} train / {len(ds_val)} val images")
     dl_train = DataLoader(ds_train, cfg.batch_size, shuffle=True,
                           num_workers=cfg.num_workers, drop_last=True,

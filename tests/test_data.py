@@ -64,3 +64,29 @@ def test_loader_drop_last_and_pad(fake_cityscapes):
     batches = list(dl)
     imgs, labs, rels, n_valid = batches[-1]
     assert imgs.shape[0] == 4 and n_valid == 2
+
+
+def test_cached_dataset(fake_cityscapes, tmp_path):
+    from erfnet_pytorch_tpu.data.cache import CachedDataset
+    import time
+
+    ds = CityscapesDataset(fake_cityscapes, "train", height=64)
+    cds = CachedDataset(ds, str(tmp_path / "cache"), tag="train64")
+    img0, lab0, rel0 = cds[0]
+    img1, lab1, rel1 = cds[0]  # cached read
+    np.testing.assert_array_equal(img0, img1)
+    np.testing.assert_array_equal(lab0, lab1)
+    assert rel0 == rel1
+
+    cds.warm()
+    # a fresh wrapper over the same dir reuses the cache (present mask)
+    cds2 = CachedDataset(ds, str(tmp_path / "cache"), tag="train64")
+    assert cds2._present.all()
+    img2, lab2, _ = cds2[3]
+    ref_img, ref_lab, _ = ds[3]
+    np.testing.assert_array_equal(img2, ref_img)
+    np.testing.assert_array_equal(lab2, ref_lab)
+
+    # loader interop
+    batches = list(DataLoader(cds, 4, shuffle=True))
+    assert batches[0][0].shape == (4, 64, 128, 3)
