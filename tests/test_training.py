@@ -174,3 +174,20 @@ def test_sharded_step_matches_single_device():
         np.asarray(ts1.batch_stats["encoder"]["initial_block"]["bn"]["mean"]),
         np.asarray(ts2.batch_stats["encoder"]["initial_block"]["bn"]["mean"]),
         rtol=1e-5, atol=1e-7)
+
+
+def test_spatial_sharded_inference_matches_single_device():
+    """CP-analog: H-axis sharded inference == unsharded on the 8-dev mesh."""
+    from erfnet_pytorch_tpu.parallel.spatial import make_spatial_infer
+    from erfnet_pytorch_tpu.models import erfnet as _erfnet
+
+    params, state = _erfnet.init(jax.random.PRNGKey(0), 20)
+    # H = 128 -> 8 devices x 16 rows; /8 stride keeps 2 rows per device
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 256, 3))
+    ref, _ = _erfnet.apply(params, state, x, train=False)
+    mesh = make_mesh(8)
+    infer = make_spatial_infer(params, state, mesh)
+    logits, pred = infer(jax.device_put(x))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    assert pred.shape == (1, 128, 256)
