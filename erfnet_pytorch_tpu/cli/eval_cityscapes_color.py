@@ -19,7 +19,6 @@ from PIL import Image
 
 from ..data.cityscapes import CityscapesDataset
 from ..data.loader import DataLoader
-from ..data.transforms import CITYSCAPES_PALETTE
 from ..models import erfnet
 from ..ops.argmax import fast_argmax
 from ..training.checkpoint import load_any_weights
@@ -46,19 +45,6 @@ def build_parser():
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas kernels for eligible blocks")
     return p
-
-
-def make_color_infer(compute_dtype=None):
-    pal = jnp.asarray(CITYSCAPES_PALETTE)
-
-    @jax.jit
-    def infer(params, batch_stats, images):
-        logits, _ = erfnet.apply(params, batch_stats, images, train=False,
-                                 compute_dtype=compute_dtype)
-        pred = fast_argmax(logits)
-        return jnp.take(pal, pred, axis=0)  # uint8 (B, H, W, 3) on device
-
-    return infer
 
 
 def main(argv=None):

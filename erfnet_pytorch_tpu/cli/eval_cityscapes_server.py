@@ -16,7 +16,6 @@ from PIL import Image
 
 from ..data.cityscapes import CityscapesDataset
 from ..data.loader import DataLoader
-from ..data.transforms import TRAINID_TO_LABELID
 from ..models import erfnet
 from ..ops.argmax import fast_argmax
 from ..training.checkpoint import load_any_weights
@@ -41,18 +40,6 @@ def build_parser():
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas kernels for eligible blocks")
     return p
-
-
-def make_server_infer(compute_dtype=None):
-    remap = jnp.asarray(TRAINID_TO_LABELID)
-
-    @jax.jit
-    def infer(params, batch_stats, images):
-        logits, _ = erfnet.apply(params, batch_stats, images, train=False,
-                                 compute_dtype=compute_dtype)
-        return jnp.take(remap, fast_argmax(logits), axis=0)
-
-    return infer
 
 
 def main(argv=None):

@@ -51,14 +51,31 @@ def to_label(img_u8):
     return a.astype(jnp.int32)
 
 
+def _onehot_lookup(pred, table):
+    """Gather-free table lookup: per-pixel gathers lower to scalar loads on
+    the TPU VPU (see ops/argmax.py); a one-hot comparison + tiny matmul
+    vectorizes fully.  pred (...,) int, table (K, D) or (K,)."""
+    t = jnp.asarray(table)
+    squeeze = t.ndim == 1
+    if squeeze:
+        t = t[:, None]
+    k = t.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, pred.shape + (k,),
+                                    pred.ndim)
+    onehot = (iota == pred.astype(jnp.int32)[..., None]).astype(jnp.float32)
+    out = jnp.dot(onehot.reshape(-1, k), t.astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    out = out.reshape(pred.shape + (t.shape[1],)).astype(table.dtype)
+    return out[..., 0] if squeeze else out
+
+
 def colorize(pred, palette=None):
     """Per-pixel palette lookup on device. pred (..., H, W) int -> uint8 RGB
     (..., H, W, 3)."""
-    pal = jnp.asarray(CITYSCAPES_PALETTE if palette is None else palette)
-    return jnp.take(pal, pred.astype(jnp.int32), axis=0)
+    pal = CITYSCAPES_PALETTE if palette is None else palette
+    return _onehot_lookup(pred, jnp.asarray(pal))
 
 
 def train_id_to_label_id(pred):
     """Device-side inverse remap for Cityscapes test-server submission."""
-    return jnp.take(jnp.asarray(TRAINID_TO_LABELID), pred.astype(jnp.int32),
-                    axis=0)
+    return _onehot_lookup(pred, jnp.asarray(TRAINID_TO_LABELID))

@@ -16,12 +16,26 @@ import jax.numpy as jnp
 
 
 def weighted_log_softmax_nll(logits, targets, class_weights):
-    """logits (B,H,W,C) float; targets (B,H,W) int; class_weights (C,)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
-                               axis=-1)[..., 0]
-    w = class_weights.astype(jnp.float32)[targets]
-    num = jnp.sum(w * nll)
+    """logits (B,H,W,C) float; targets (B,H,W) int; class_weights (C,).
+
+    Gather-free formulation: XLA lowers per-pixel gathers
+    (take_along_axis / weights[targets]) to scalar-indexed loads that crawl
+    on the TPU VPU (same pathology as variadic argmax — see ops/argmax.py).
+    One-hot selects via an iota comparison vectorize fully:
+
+        nll_i = logsumexp(logits_i) - logits_i[t_i]
+        loss  = sum(w[t_i] * nll_i) / sum(w[t_i])
+    """
+    logits = logits.astype(jnp.float32)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    lse = m[..., 0] + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1))
+    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape,
+                                    logits.ndim - 1)
+    onehot = iota == targets[..., None].astype(jnp.int32)
+    logit_t = jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1)
+    w = jnp.sum(jnp.where(onehot, class_weights.astype(jnp.float32), 0.0),
+                axis=-1)
+    num = jnp.sum(w * (lse - logit_t))
     den = jnp.sum(w)
     return num / jnp.maximum(den, 1e-12)
 

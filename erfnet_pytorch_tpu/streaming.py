@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .data.transforms import CITYSCAPES_PALETTE, TRAINID_TO_LABELID
+from .data.transforms import colorize, train_id_to_label_id
 from .inference import build_fast_infer
 
 
@@ -32,16 +32,13 @@ class StreamingSegmenter:
         'trainId' (raw argmax)."""
         infer = build_fast_infer(params, batch_stats, dtype=dtype,
                                  use_pallas=use_pallas)
-        pal = jnp.asarray(CITYSCAPES_PALETTE)
-        remap = jnp.asarray(TRAINID_TO_LABELID)
-
         @jax.jit
         def step(images):
             _, pred = infer(images)
             if output == "color":
-                return jnp.take(pal, pred, axis=0)
+                return colorize(pred)
             if output == "labelId":
-                return jnp.take(remap, pred, axis=0)
+                return train_id_to_label_id(pred).astype(jnp.uint8)
             return pred.astype(jnp.uint8)
 
         self._step = step
