@@ -88,6 +88,7 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         mesh=make_mesh(args.devices) if args.devices else None,
         cache_dir=args.cache_dir,
+        init_weights=args.state or "",
         visualize=args.visualize, port=args.port,
         steps_plot=args.steps_plot, tensorboard=args.tensorboard,
     )

@@ -110,3 +110,7 @@ class CityscapesDataset:
         else:
             label_np = np.full(image_np.shape[:2], 255, dtype=np.int32)
         return image_np, label_np, rel
+
+def image_path_city(root, name):
+    """Reference train/dataset.py helper (API parity)."""
+    return os.path.join(root, name)

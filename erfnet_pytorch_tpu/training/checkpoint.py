@@ -88,6 +88,44 @@ def load_any_weights(path: str):
     return payload["params"], payload["batch_stats"]
 
 
+def partial_load(target, source, *, path=""):
+    """Reference ``load_my_state_dict`` semantics (train/main.py,
+    eval/eval_iou.py): copy every leaf whose path exists in both trees with
+    a matching shape; keep the target's value otherwise. Returns
+    (merged_tree, loaded_paths, skipped_paths)."""
+    loaded, skipped = [], []
+
+    def rec(t, s, p):
+        if isinstance(t, dict) and isinstance(s, dict):
+            out = {}
+            for k, v in t.items():
+                if k in s:
+                    out[k] = rec(v, s[k], f"{p}.{k}" if p else k)
+                else:
+                    skipped.append(f"{p}.{k}" if p else k)
+                    out[k] = v
+            return out
+        if isinstance(t, (list, tuple)) and isinstance(s, (list, tuple)):
+            out = []
+            for i, v in enumerate(t):
+                if i < len(s):
+                    out.append(rec(v, s[i], f"{p}[{i}]"))
+                else:
+                    skipped.append(f"{p}[{i}]")
+                    out.append(v)
+            return type(t)(out) if isinstance(t, tuple) else out
+        ts = getattr(t, "shape", None)
+        ss = getattr(s, "shape", None)
+        if ts == ss:
+            loaded.append(p)
+            return s
+        skipped.append(p)
+        return t
+
+    merged = rec(target, source, path)
+    return merged, loaded, skipped
+
+
 class CheckpointManager:
     """Stage-aware manager reproducing the reference's save-dir contract."""
 

@@ -54,6 +54,7 @@ class TrainConfig:
     mesh: Any = None                   # jax Mesh; default: all devices
     log_fn: Callable[[str], None] = print
     cache_dir: str = ""                # decoded-sample cache (data/cache.py)
+    init_weights: str = ""             # warm-start weights (--state), partial
     visualize: bool = False            # visdom Dashboard (reference --visualize)
     port: int = 8097
     steps_plot: int = 50
@@ -77,6 +78,14 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
     rng = jax.random.PRNGKey(cfg.seed)
     ts = create_train_state(model, rng, cfg.num_classes, optimizer,
                             encoder=pretrained_encoder)
+    if cfg.init_weights:
+        from .checkpoint import load_any_weights, partial_load
+        src_p, src_s = load_any_weights(cfg.init_weights)
+        params, loaded, skipped = partial_load(ts.params, src_p)
+        stats, _, _ = partial_load(ts.batch_stats, src_s)
+        ts = ts._replace(params=params, batch_stats=stats)
+        log(f"=> warm start from {cfg.init_weights}: {len(loaded)} tensors "
+            f"loaded, {len(skipped)} kept")
     ts = replicate(mesh, ts)
 
     weights = get_class_weights(enc)

@@ -191,3 +191,16 @@ def test_spatial_sharded_inference_matches_single_device():
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
     assert pred.shape == (1, 128, 256)
+
+
+def test_partial_load_semantics():
+    """load_my_state_dict contract: matching paths/shapes copied, the rest
+    kept, tolerant of missing subtrees."""
+    from erfnet_pytorch_tpu.training.checkpoint import partial_load
+    t = {"a": jnp.zeros((2, 2)), "b": {"c": jnp.zeros(3)},
+         "extra": jnp.zeros(1)}
+    s = {"a": jnp.ones((2, 2)), "b": {"c": jnp.ones(4)}}  # c shape mismatch
+    merged, loaded, skipped = partial_load(t, s)
+    np.testing.assert_array_equal(np.asarray(merged["a"]), np.ones((2, 2)))
+    np.testing.assert_array_equal(np.asarray(merged["b"]["c"]), np.zeros(3))
+    assert "a" in loaded and "b.c" in skipped and "extra" in skipped
