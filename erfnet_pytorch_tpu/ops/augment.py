@@ -25,18 +25,37 @@ import jax.numpy as jnp
 MAX_SHIFT = 2
 
 
-def _translate_one(img, lab, tx, ty):
-    """Shift one (H, W, C) image / (H, W) label by (tx, ty) in [-2, 2],
-    filling image with 0 and label with 255."""
-    m = MAX_SHIFT
-    ip = jnp.pad(img, ((m, m), (m, m), (0, 0)))
-    lp = jnp.pad(lab, ((m, m), (m, m)), constant_values=255)
-    # shift content by (+ty, +tx): output(y, x) = input(y - ty, x - tx)
-    oy = m - ty
-    ox = m - tx
-    img2 = jax.lax.dynamic_slice(ip, (oy, ox, 0), img.shape)
-    lab2 = jax.lax.dynamic_slice(lp, (oy, ox), lab.shape)
-    return img2, lab2
+def _shift_static(x, k, axis, fill):
+    """Static shift by k along axis with constant fill: out[i] = x[i - k]."""
+    if k == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    sl = [slice(None)] * x.ndim
+    if k > 0:
+        pad[axis] = (k, 0)
+        sl[axis] = slice(None, -k)
+    else:
+        pad[axis] = (0, -k)
+        sl[axis] = slice(-k, None)
+    return jnp.pad(x[tuple(sl)], pad, constant_values=fill)
+
+
+def _translate_batch(img, lab, tx, ty):
+    """Shift (B, H, W, C) images / (B, H, W) labels by per-sample
+    (tx, ty) in [-MAX_SHIFT, MAX_SHIFT], filling image 0 / label 255.
+
+    Gather-free: per-sample dynamic_slice under vmap lowers to a slow TPU
+    gather; a select over the 2*MAX_SHIFT+1 static shifts vectorizes."""
+    def sel(x, t, axis, fill):
+        out = jnp.zeros_like(x)
+        for k in range(-MAX_SHIFT, MAX_SHIFT + 1):
+            mask = (t == k).reshape((-1,) + (1,) * (x.ndim - 1))
+            out = jnp.where(mask, _shift_static(x, k, axis, fill), out)
+        return out
+
+    img = sel(sel(img, ty, 1, 0.0), tx, 2, 0.0)
+    lab = sel(sel(lab, ty, 1, 255), tx, 2, 255)
+    return img, lab
 
 
 @partial(jax.jit, static_argnames=("enc", "augment"))
@@ -56,8 +75,7 @@ def co_transform(rng, images, labels, *, enc=False, augment=True):
         labels = jnp.where(flip[:, None, None], labels[:, :, ::-1], labels)
         t = jax.random.randint(kt, (images.shape[0], 2), -MAX_SHIFT,
                                MAX_SHIFT + 1)
-        images, labels = jax.vmap(_translate_one)(images, labels,
-                                                  t[:, 0], t[:, 1])
+        images, labels = _translate_batch(images, labels, t[:, 0], t[:, 1])
     if enc:
         labels = labels[:, 4::8, 4::8]
     labels = jnp.where(labels == 255, 19, labels)
