@@ -105,11 +105,19 @@ def make_steps(optimizer, compute_dtype):
 
 
 def _topk_correct(logits, labels, k=5):
-    """(top1_correct, top5_correct) counts — reference accuracy(topk=(1,5))."""
-    top = jnp.argsort(-logits, axis=-1)[:, :k]
-    hit = top == labels[:, None]
-    return hit[:, 0].sum().astype(jnp.float32), hit.any(1).sum().astype(
-        jnp.float32)
+    """(top1_correct, top5_correct) counts — reference accuracy(topk=(1,5)).
+
+    Sort-free: the target's rank is the number of logits strictly greater
+    than logits[target] (+ earlier-index ties, matching argsort order)."""
+    logits = logits.astype(jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    is_t = iota == labels[:, None].astype(jnp.int32)
+    logit_t = jnp.sum(jnp.where(is_t, logits, 0.0), axis=-1)
+    gt = logits > logit_t[:, None]
+    tie_before = (logits == logit_t[:, None]) & (iota < labels[:, None])
+    rank = jnp.sum(gt | tie_before, axis=-1)
+    return ((rank < 1).sum().astype(jnp.float32),
+            (rank < k).sum().astype(jnp.float32))
 
 
 def run_validate(eval_step, ts, dl, print_freq, log=print):

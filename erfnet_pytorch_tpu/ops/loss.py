@@ -41,8 +41,12 @@ def weighted_log_softmax_nll(logits, targets, class_weights):
 
 
 def cross_entropy(logits, targets):
-    """Plain mean CE for the ImageNet classifier head. logits (B, C)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[:, None].astype(jnp.int32),
-                               axis=-1)[:, 0]
-    return jnp.mean(nll)
+    """Plain mean CE for the ImageNet classifier head. logits (B, C).
+    Gather-free (one-hot select), like the segmentation loss."""
+    logits = logits.astype(jnp.float32)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    lse = m[..., 0] + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1))
+    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logit_t = jnp.sum(jnp.where(iota == targets[:, None].astype(jnp.int32),
+                                logits, 0.0), axis=-1)
+    return jnp.mean(lse - logit_t)

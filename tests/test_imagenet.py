@@ -100,3 +100,16 @@ def test_pretrained_encoder_handoff(fake_imagenet, tmp_path):
     import jax.numpy as jnp
     y, _ = erfnet.apply(p, s, jnp.zeros((1, 64, 128, 3)))
     assert y.shape == (1, 64, 128, 20)
+
+
+def test_topk_correct_matches_argsort():
+    import jax, jax.numpy as jnp
+    from erfnet_pytorch_tpu.cli.imagenet_main import _topk_correct
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(32, 50).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 50, (32,)))
+    c1, c5 = _topk_correct(logits, labels)
+    top = np.argsort(-np.asarray(logits), axis=-1)[:, :5]
+    hit = top == np.asarray(labels)[:, None]
+    assert float(c1) == hit[:, 0].sum()
+    assert float(c5) == hit.any(1).sum()
