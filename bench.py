@@ -20,6 +20,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from erfnet_pytorch_tpu.utils.jax_cache import enable as _enable_cache
+_enable_cache()
+
 BASELINE_FPS = 1000.0 / 24.0  # reference eval_forwardTime: ~24 ms @ 1024x512
 SEG = 10  # executions per host sync
 

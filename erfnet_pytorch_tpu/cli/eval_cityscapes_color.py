@@ -54,6 +54,8 @@ def main(argv=None):
         # plugin otherwise overrides JAX_PLATFORMS=cpu
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from ..utils.jax_cache import enable as _enable_cache
+    _enable_cache()
     weights_path = args.state or os.path.join(args.loadDir, args.loadWeights)
     print(f"Loading weights: {weights_path}")
     params, batch_stats = load_any_weights(weights_path)

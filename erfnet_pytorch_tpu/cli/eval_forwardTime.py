@@ -69,6 +69,8 @@ def main(argv=None):
         # plugin otherwise overrides JAX_PLATFORMS=cpu
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from ..utils.jax_cache import enable as _enable_cache
+    _enable_cache()
     if args.state:
         from ..training.checkpoint import load_any_weights
         params, batch_stats = load_any_weights(args.state)

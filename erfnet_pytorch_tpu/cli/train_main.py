@@ -75,6 +75,8 @@ def main(argv=None):
         # plugin otherwise overrides JAX_PLATFORMS=cpu
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from ..utils.jax_cache import enable as _enable_cache
+    _enable_cache()
     savedir = args.savedir if os.path.isabs(args.savedir) \
         else os.path.join("save", args.savedir)
 
