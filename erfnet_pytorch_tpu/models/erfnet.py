@@ -104,9 +104,22 @@ def init_upsampler(key, cin, cout):
 
 
 def apply_upsampler(params, state, x, *, train, compute_dtype=None):
-    y = conv_transpose2d(x, params["conv"]["w"], params["conv"]["b"],
-                         stride=2, padding=1, output_padding=1,
-                         compute_dtype=compute_dtype)
+    if train:
+        # parity-plane matmul form: XLA's ConvTranspose backward spends
+        # ~10 ms/step in kernel-gradient layout copies; matmul AD doesn't
+        from ..ops.convt_mm import (build_upsampler_matmul,
+                                    apply_upsampler_matmul)
+        Wcat, bias = build_upsampler_matmul(params["conv"]["w"],
+                                            params["conv"]["b"],
+                                            dtype=compute_dtype
+                                            or jnp.float32)
+        y = apply_upsampler_matmul(
+            x.astype(compute_dtype) if compute_dtype else x, Wcat, bias,
+            relu=False)
+    else:
+        y = conv_transpose2d(x, params["conv"]["w"], params["conv"]["b"],
+                             stride=2, padding=1, output_padding=1,
+                             compute_dtype=compute_dtype)
     y, bns = batch_norm(y, params["bn"], state["bn"], train=train, eps=BN_EPS)
     return jax.nn.relu(y), {"bn": bns}
 
@@ -216,6 +229,15 @@ def apply_decoder(params, state, x, *, train=False, rng=None,
         new_layers.append(ns)
     if output_conv_fn is not None:
         y = output_conv_fn(y)
+    elif train:
+        # matmul form (see apply_upsampler): avoids the full-res ConvT
+        # backward's reverse + layout copies
+        from ..ops.convt_mm import build_head_matmul, apply_head_matmul
+        Wh, bh = build_head_matmul(params["output_conv"]["w"],
+                                   params["output_conv"]["b"],
+                                   dtype=compute_dtype or jnp.float32)
+        y = apply_head_matmul(
+            y.astype(compute_dtype) if compute_dtype else y, Wh, bh)
     else:
         y = conv_transpose2d(y, params["output_conv"]["w"],
                              params["output_conv"]["b"], stride=2, padding=0,

@@ -30,11 +30,11 @@ import jax.numpy as jnp
 
 def _fold(w, b, bn_params=None, bn_state=None, eps=1e-3):
     if bn_params is None:
-        return np.asarray(w, np.float32), np.asarray(b, np.float32)
+        return jnp.asarray(w, jnp.float32), jnp.asarray(b, jnp.float32)
     from .batchnorm import fold_batch_norm
     w2, b2 = fold_batch_norm(jnp.asarray(w), jnp.asarray(b), bn_params,
                              bn_state, eps=eps)
-    return np.asarray(w2, np.float32), np.asarray(b2, np.float32)
+    return jnp.asarray(w2, jnp.float32), jnp.asarray(b2, jnp.float32)
 
 
 def build_upsampler_matmul(w_hwio, b, bn_params=None, bn_state=None,
@@ -44,15 +44,12 @@ def build_upsampler_matmul(w_hwio, b, bn_params=None, bn_state=None,
 
     Row blocks: [x, x_h+1, x_w+1, x_hw+1]; col blocks: planes (a, b)
     row-major.  w_hwio is the forward-conv-equivalent HWIO storage of
-    ops/conv.py (spatially flipped torch weight)."""
+    ops/conv.py (spatially flipped torch weight).  Pure jnp — traceable and
+    differentiable, so the training path can use it under grad."""
     w, b = _fold(w_hwio, b, bn_params, bn_state)
     kh, kw, cin, cout = w.shape
     assert (kh, kw) == (3, 3)
-    Wcat = np.zeros((4 * cin, 4 * cout), np.float32)
-
-    def block(row, a, bb, tap_h, tap_w):
-        Wcat[row * cin:(row + 1) * cin,
-             (a * 2 + bb) * cout:(a * 2 + bb + 1) * cout] = w[tap_h, tap_w]
+    Wcat = jnp.zeros((4 * cin, 4 * cout), jnp.float32)
 
     # plane taps: a=0 -> t_h=1 (m=0); a=1 -> t_h=0 (m=0), t_h=2 (m=+1)
     for a in (0, 1):
@@ -62,9 +59,12 @@ def build_upsampler_matmul(w_hwio, b, bn_params=None, bn_state=None,
                 for m_w, t_w in (((0, 1),) if bb == 0 else ((0, 0), (1, 2))):
                     row = {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3}[
                         (m_h, m_w)]
-                    block(row, a, bb, t_h, t_w)
-    bias = np.tile(b, 4)
-    return jnp.asarray(Wcat, dtype), jnp.asarray(bias, jnp.float32)
+                    col = a * 2 + bb
+                    Wcat = Wcat.at[row * cin:(row + 1) * cin,
+                                   col * cout:(col + 1) * cout].add(
+                        w[t_h, t_w])
+    bias = jnp.tile(b, 4)
+    return Wcat.astype(dtype), bias.astype(jnp.float32)
 
 
 def apply_upsampler_matmul(x, Wcat, bias, *, relu=True):
@@ -86,17 +86,15 @@ def apply_upsampler_matmul(x, Wcat, bias, *, relu=True):
 
 
 def build_head_matmul(w_hwio, b, dtype=jnp.float32):
-    """ConvTranspose2d(Cin, Cout, 2, s2) -> (W (Cin, 4Cout), bias)."""
-    w = np.asarray(w_hwio, np.float32)
+    """ConvTranspose2d(Cin, Cout, 2, s2) -> (W (Cin, 4Cout), bias).
+    Pure jnp (traceable/differentiable)."""
+    w = jnp.asarray(w_hwio, jnp.float32)
     kh, kw, cin, cout = w.shape
     assert (kh, kw) == (2, 2)
-    W = np.zeros((cin, 4 * cout), np.float32)
-    for a in (0, 1):
-        for bb in (0, 1):
-            W[:, (a * 2 + bb) * cout:(a * 2 + bb + 1) * cout] = \
-                w[1 - a, 1 - bb]
-    bias = np.tile(np.asarray(b, np.float32), 4)
-    return jnp.asarray(W, dtype), jnp.asarray(bias, jnp.float32)
+    # cols ordered by plane (a, b) row-major; plane (a,b) uses w[1-a, 1-b]
+    W = jnp.concatenate([w[1, 1], w[1, 0], w[0, 1], w[0, 0]], axis=1)
+    bias = jnp.tile(jnp.asarray(b, jnp.float32), 4)
+    return W.astype(dtype), bias.astype(jnp.float32)
 
 
 def apply_head_matmul(x, W, bias):

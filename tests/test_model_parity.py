@@ -94,3 +94,34 @@ def test_stage_handoff_encoder_reuse():
     w0 = params["encoder"]["initial_block"]["conv"]["w"]
     np.testing.assert_array_equal(np.asarray(w0),
                                   np.asarray(ep["initial_block"]["conv"]["w"]))
+
+
+def test_train_mode_matmul_paths_match_eval_lax_paths():
+    """The training path's matmul-form upsampler/head must equal the
+    eval-mode lax conv_transpose (fp32) given identical BN stats."""
+    from erfnet_pytorch_tpu.models.erfnet import (init_upsampler,
+                                                  apply_upsampler,
+                                                  apply_decoder,
+                                                  init_decoder)
+    import jax.numpy as jnp
+
+    p, s = init_upsampler(jax.random.PRNGKey(0), 128, 64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16, 128))
+    y_train, _ = apply_upsampler(p, s, x, train=True)
+    # eval-mode with the same (initial) stats: BN normalize differs only via
+    # batch-vs-running stats; to isolate the conv path, zero-init stats and
+    # compare conv outputs directly instead
+    from erfnet_pytorch_tpu.ops.conv import conv_transpose2d
+    from erfnet_pytorch_tpu.ops.convt_mm import (build_upsampler_matmul,
+                                                 apply_upsampler_matmul)
+    ref = conv_transpose2d(x, p["conv"]["w"], p["conv"]["b"], stride=2,
+                           padding=1, output_padding=1)
+    Wcat, bias = build_upsampler_matmul(p["conv"]["w"], p["conv"]["b"])
+    got = apply_upsampler_matmul(x, Wcat, bias, relu=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # and gradients flow through the traced builder
+    g = jax.grad(lambda w: apply_upsampler_matmul(
+        x, *build_upsampler_matmul(w, p["conv"]["b"]), relu=False).sum())(
+        p["conv"]["w"])
+    assert np.isfinite(np.asarray(g)).all() and float(np.abs(g).sum()) > 0
