@@ -50,9 +50,19 @@ def init_downsampler(key, cin, cout):
 
 def apply_downsampler(params, state, x, *, train, compute_dtype=None):
     # cat[conv(cin -> cout-cin, k3 s2 p1), maxpool2](x) -> BN -> relu
-    y = conv2d(x, params["conv"]["w"], params["conv"]["b"], stride=2,
-               padding=1, compute_dtype=compute_dtype)
-    p = max_pool2d(x, 2, 2).astype(y.dtype)
+    if train:
+        # space-to-depth matmul conv + slot-max pool: XLA's strided conv
+        # wgrad and select-and-scatter backward are layout-copy-bound
+        from ..ops.packed import (build_downsampler_matmul,
+                                  downsampler_conv_matmul, max_pool2x2_packed)
+        taps = build_downsampler_matmul(params["conv"]["w"])
+        y = downsampler_conv_matmul(x, taps, params["conv"]["b"],
+                                    compute_dtype=compute_dtype)
+        p = max_pool2x2_packed(x).astype(y.dtype)
+    else:
+        y = conv2d(x, params["conv"]["w"], params["conv"]["b"], stride=2,
+                   padding=1, compute_dtype=compute_dtype)
+        p = max_pool2d(x, 2, 2).astype(y.dtype)
     y = jnp.concatenate([y, p], axis=-1)
     y, bns = batch_norm(y, params["bn"], state["bn"], train=train, eps=BN_EPS)
     return jax.nn.relu(y), {"bn": bns}

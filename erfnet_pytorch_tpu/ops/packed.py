@@ -149,6 +149,69 @@ def pack_nb1d_for_pallas(fused: Dict[str, jnp.ndarray], p: int,
     return weights, s2, s4
 
 
+def space_to_depth2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C) with slot order (a, b, c)."""
+    B, H, W, C = x.shape
+    return (x.reshape(B, H // 2, 2, W // 2, 2, C)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(B, H // 2, W // 2, 4 * C))
+
+
+def build_downsampler_matmul(w):
+    """3x3 stride-2 pad-1 conv -> <=4 dense (4Cin, Cout) matmuls on the
+    space-to-depth-2 input.  Per-dim tap map (output block i reads input
+    rows 2i-1..2i+1): m=0 -> (block i-1, slot 1); m=1 -> (i, 0);
+    m=2 -> (i, 1).  Pure jnp (traceable/differentiable) — XLA's strided
+    conv wgrad spends ~10 ms/step in layout copies on v5e.
+
+    Returns [(qh, qw, K)] with q in {-1, 0} (shift amount in blocks)."""
+    w = jnp.asarray(w)
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    dim_taps = [(-1, 1, 0), (0, 0, 1), (0, 1, 2)]  # (q, slot, m)
+    Ks = {}
+    for qh, ah, mh in dim_taps:
+        for qw, aw, mw in dim_taps:
+            K = Ks.setdefault((qh, qw),
+                              jnp.zeros((4 * cin, cout), jnp.float32))
+            row = (ah * 2 + aw) * cin
+            Ks[(qh, qw)] = K.at[row:row + cin, :].add(
+                w[mh, mw].astype(jnp.float32))
+    return sorted(Ks.items())
+
+
+def downsampler_conv_matmul(x, taps, b, *, compute_dtype=None):
+    """x (B, H, W, Cin) -> (B, H/2, W/2, Cout) == conv2d(k3, s2, p1)."""
+    X = space_to_depth2(x)
+    if compute_dtype is not None:
+        X = X.astype(compute_dtype)
+    B, Hb, Wb, c4 = X.shape
+    out = None
+    for (qh, qw), K in taps:
+        t = X
+        # packed._shift semantics: out[i] = x[i + q] — exactly "read from
+        # block i+q" with zero fill at the image border
+        if qh:
+            t = _shift(t, qh, 1)
+        if qw:
+            t = _shift(t, qw, 2)
+        m = jnp.dot(t.reshape(-1, c4),
+                    K.astype(X.dtype) if compute_dtype else K,
+                    preferred_element_type=jnp.float32)
+        out = m if out is None else out + m
+    cout = out.shape[-1]
+    out = out.reshape(B, Hb, Wb, cout) + b.astype(out.dtype)
+    return out.astype(compute_dtype or jnp.float32)
+
+
+def max_pool2x2_packed(x):
+    """MaxPool2d(2, 2) as an elementwise max over the 4 space-to-depth
+    slots (backward = select masks, not XLA's select-and-scatter)."""
+    B, H, W, C = x.shape
+    X = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.max(jnp.max(X, axis=4), axis=2)
+
+
 def nb1d_packed(x, packed):
     """Inference non_bottleneck_1d on a space-to-depth packed layout.
 

@@ -68,3 +68,25 @@ def test_packed_pallas_kernel_matches(c, p, d):
                             interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_downsampler_matmul_matches_conv():
+    from erfnet_pytorch_tpu.ops.packed import (build_downsampler_matmul,
+                                               downsampler_conv_matmul,
+                                               max_pool2x2_packed)
+    from erfnet_pytorch_tpu.ops.conv import conv2d, max_pool2d
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 24, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 13).astype(np.float32))
+    b = jnp.asarray(rng.randn(13).astype(np.float32))
+    ref = conv2d(x, w, b, stride=2, padding=1)
+    got = downsampler_conv_matmul(x, build_downsampler_matmul(w), b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(max_pool2x2_packed(x)),
+                               np.asarray(max_pool2d(x, 2, 2)),
+                               rtol=0, atol=0)
+    # differentiable
+    g = jax.grad(lambda w: downsampler_conv_matmul(
+        x, build_downsampler_matmul(w), b).sum())(w)
+    assert np.isfinite(np.asarray(g)).all() and float(np.abs(g).sum()) > 0
