@@ -82,8 +82,21 @@ def init_non_bottleneck_1d(key, c):
     return p, {"bn1": bn1s, "bn2": bn2s}
 
 
+_TRAIN_PACK = {64: 2, 16: 8}  # space-to-depth factors -> 128 lanes
+
+
 def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
                             rng=None, compute_dtype=None):
+    c = x.shape[-1]
+    p = _TRAIN_PACK.get(c)
+    if train and p is not None and x.shape[-2] % p == 0:
+        # space-to-depth packed block: fills the 128 MXU lanes and turns
+        # weight gradients into (pC, pC) matmuls (C=16 wgrads measured
+        # ~3 ms/step as lane-starved (16,16) reductions)
+        from ..ops.packed import nb1d_train_packed
+        return nb1d_train_packed(params, state, x, p=p, dilated=dilated,
+                                 dropprob=dropprob, train=train, rng=rng,
+                                 compute_dtype=compute_dtype, bn_eps=BN_EPS)
     # factorized convs run as shifted MXU matmuls (conv_3tap_mm): same math
     # as lax convs with SAME padding, ~9x faster fwd+bwd on TPU
     y = conv_3tap_mm(x, params["conv3x1_1"]["w"], params["conv3x1_1"]["b"],

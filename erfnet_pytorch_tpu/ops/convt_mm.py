@@ -109,4 +109,6 @@ def apply_head_matmul(x, W, bias):
                 preferred_element_type=jnp.float32) + bias
     y = y.astype(x.dtype)
     y = y.reshape(B, H, Wd, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(B, 2 * H, 2 * Wd, cout).astype(jnp.float32)
+    # stays in the input dtype: the loss upcasts, and an f32 output would
+    # make the backward transpose run at double width
+    return y.reshape(B, 2 * H, 2 * Wd, cout)

@@ -80,7 +80,10 @@ def packed_conv(X, taps, bias, *, axis, relu):
     bias: (pC,) pre-tiled."""
     acc = None
     for q, K in taps:
-        t = jnp.dot(_shift(X, q, axis).reshape(-1, X.shape[-1]), K,
+        if abs(q) >= X.shape[axis]:
+            continue  # tap outside the map (tiny inputs, large dilation)
+        t = jnp.dot(_shift(X, q, axis).reshape(-1, X.shape[-1]),
+                    K.astype(X.dtype),
                     preferred_element_type=jnp.float32)
         acc = t if acc is None else acc + t
     acc = acc + bias
@@ -210,6 +213,101 @@ def max_pool2x2_packed(x):
     B, H, W, C = x.shape
     X = x.reshape(B, H // 2, 2, W // 2, 2, C)
     return jnp.max(jnp.max(X, axis=4), axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable (training) packed NB1d: traced weight packing, packed-space
+# BatchNorm with exact torch stats, tiled channelwise dropout.
+# ---------------------------------------------------------------------------
+
+def taps_w_traced(w3, p, d):
+    """Traceable build_packed_taps_w: w3 (3, C, C) traced -> [(q, K)]."""
+    C = w3.shape[1]
+    Ks: Dict[int, jnp.ndarray] = {}
+    for k, o in ((0, -d), (1, 0), (2, +d)):
+        for j_out in range(p):
+            src = j_out + o
+            q, j_in = src // p, src % p
+            K = Ks.setdefault(q, jnp.zeros((p * C, p * C), w3.dtype))
+            Ks[q] = K.at[j_in * C:(j_in + 1) * C,
+                         j_out * C:(j_out + 1) * C].add(w3[k])
+    return sorted(Ks.items())
+
+
+def taps_h_traced(w3, p, d):
+    """Traceable build_packed_taps_h: block-diag via kron -> [(o, K)]."""
+    eye = jnp.eye(p, dtype=w3.dtype)
+    return [(o, jnp.kron(eye, w3[k])) for k, o in ((0, -d), (1, 0), (2, +d))]
+
+
+def _bn_packed(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
+               momentum=0.1):
+    """BatchNorm over the TRUE channels of a packed (B, H, Wb, pC) tensor:
+    stats aggregate across the p position slots (exactly the unpacked
+    batch stats); affine applied tiled."""
+    C = bn_params["scale"].shape[0]
+    scale = bn_params["scale"].astype(jnp.float32)
+    bias = bn_params["bias"].astype(jnp.float32)
+    if train:
+        n = Xp.shape[0] * Xp.shape[1] * Xp.shape[2] * p
+        s1 = jnp.sum(Xp, axis=(0, 1, 2), dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(Xp.astype(jnp.float32)), axis=(0, 1, 2),
+                     dtype=jnp.float32)
+        mean = s1.reshape(p, C).sum(0) / n
+        var = s2.reshape(p, C).sum(0) / n - jnp.square(mean)
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * bn_state["mean"] + momentum * mean,
+            "var": (1 - momentum) * bn_state["var"] + momentum * unbiased,
+        }
+    else:
+        mean = bn_state["mean"].astype(jnp.float32)
+        var = bn_state["var"].astype(jnp.float32)
+        new_state = bn_state
+    inv = scale * jax.lax.rsqrt(var + eps)
+    a = jnp.tile(inv, p).astype(Xp.dtype)
+    b = jnp.tile(bias - mean * inv, p).astype(Xp.dtype)
+    return Xp * a + b, new_state
+
+
+def nb1d_train_packed(params, state, x, *, p, dilated, dropprob, train,
+                      rng=None, compute_dtype=None, bn_eps=1e-3):
+    """Differentiable packed non_bottleneck_1d — same math as the unpacked
+    block (models/erfnet.py:apply_non_bottleneck_1d) with p*C = 128 lanes:
+    weight gradients become (pC, pC) matmuls instead of lane-starved
+    (C, C) reductions.  Returns (y, new_bn_state)."""
+    B, H, W, C = x.shape
+    assert W % p == 0
+    X = x.reshape(B, H, W // p, p * C)
+    if compute_dtype is not None:
+        X = X.astype(compute_dtype)
+
+    def taps(name, build, d):
+        w = params[name]["w"]
+        w3 = w[:, 0] if w.shape[1] == 1 else w[0]
+        return build(w3, p, d), jnp.tile(params[name]["b"], p)
+
+    t1, b1 = taps("conv3x1_1", taps_h_traced, 1)
+    t = packed_conv(X, t1, b1.astype(jnp.float32), axis=-3, relu=True)
+    t2, b2 = taps("conv1x3_1", taps_w_traced, 1)
+    t = packed_conv(t, t2, b2.astype(jnp.float32), axis=-2, relu=False)
+    t, bn1s = _bn_packed(t, params["bn1"], state["bn1"], p=p, train=train,
+                         eps=bn_eps)
+    t = jax.nn.relu(t)
+    t3, b3 = taps("conv3x1_2", taps_h_traced, dilated)
+    t = packed_conv(t, t3, b3.astype(jnp.float32), axis=-3, relu=True)
+    t4, b4 = taps("conv1x3_2", taps_w_traced, dilated)
+    t = packed_conv(t, t4, b4.astype(jnp.float32), axis=-2, relu=False)
+    t, bn2s = _bn_packed(t, params["bn2"], state["bn2"], p=p, train=train,
+                         eps=bn_eps)
+    if train and dropprob > 0:
+        keep = 1.0 - dropprob
+        mask = jax.random.bernoulli(rng, keep, (B, 1, 1, C))
+        mask = jnp.tile(mask, (1, 1, 1, p))
+        t = jnp.where(mask, t / keep, jnp.zeros_like(t)).astype(t.dtype)
+    y = jax.nn.relu(t + X.astype(t.dtype))
+    return (y.reshape(B, H, W, C).astype(x.dtype),
+            {"bn1": bn1s, "bn2": bn2s})
 
 
 def nb1d_packed(x, packed):
