@@ -195,6 +195,61 @@ def init_encoder(key, num_classes):
     return params, {"initial_block": istate, "layers": lstate}
 
 
+def _apply_layer_seq(specs, layers_params, layers_state, y, *, train, rng,
+                     compute_dtype, layer_fn, rng_base, apply_up=None):
+    """Shared encoder/decoder layer loop.  In the training path, maximal
+    runs of same-C small-channel NB1d blocks execute space-to-depth packed
+    end-to-end (ops/packed.py:nb1d_train_packed_run) — the lane-padded
+    (M, C<128) layouts at block boundaries otherwise dominate."""
+    n = len(specs)
+    new_layers: List[Any] = [None] * n
+    i = 0
+    while i < n:
+        kind, args = specs[i]
+        p, s = layers_params[i], layers_state[i]
+        if layer_fn is not None:
+            y, new_layers[i] = layer_fn(kind, i, p, s, y, args)
+            i += 1
+            continue
+        if kind == "down":
+            y, new_layers[i] = apply_downsampler(
+                p, s, y, train=train, compute_dtype=compute_dtype)
+            i += 1
+            continue
+        if kind == "up":
+            y, new_layers[i] = apply_up(p, s, y)
+            i += 1
+            continue
+        c, drop, dil = args
+        pack = _TRAIN_PACK.get(c)
+        if train and pack is not None and y.shape[-2] % pack == 0:
+            j = i
+            while (j < n and specs[j][0] == "nb1d"
+                   and specs[j][1][0] == c):
+                j += 1
+            from ..ops.packed import nb1d_train_packed_run
+            idxs = list(range(i, j))
+            rngs = [jax.random.fold_in(rng, rng_base + k)
+                    if rng is not None else None for k in idxs]
+            y, run_states = nb1d_train_packed_run(
+                [layers_params[k] for k in idxs],
+                [layers_state[k] for k in idxs], y, p=pack,
+                dils=[specs[k][1][2] for k in idxs],
+                drops=[specs[k][1][1] for k in idxs], train=train,
+                rngs=rngs, compute_dtype=compute_dtype, bn_eps=BN_EPS)
+            for k, ns in zip(idxs, run_states):
+                new_layers[k] = ns
+            i = j
+            continue
+        r = jax.random.fold_in(rng, rng_base + i) if (rng is not None) \
+            else None
+        y, new_layers[i] = apply_non_bottleneck_1d(
+            p, s, y, dilated=dil, dropprob=drop, train=train, rng=r,
+            compute_dtype=compute_dtype)
+        i += 1
+    return y, new_layers
+
+
 def apply_encoder(params, state, x, *, train=False, rng=None, predict=False,
                   compute_dtype=None, layer_fn=None):
     """layer_fn: optional override(kind, idx, params, state, x, spec) for
@@ -202,21 +257,10 @@ def apply_encoder(params, state, x, *, train=False, rng=None, predict=False,
     y, is_ = apply_downsampler(params["initial_block"],
                                state["initial_block"], x, train=train,
                                compute_dtype=compute_dtype)
-    new_layers = []
-    for i, (kind, args) in enumerate(ENCODER_LAYER_SPECS):
-        p, s = params["layers"][i], state["layers"][i]
-        if layer_fn is not None:
-            y, ns = layer_fn(kind, i, p, s, y, args)
-        elif kind == "down":
-            y, ns = apply_downsampler(p, s, y, train=train,
-                                      compute_dtype=compute_dtype)
-        else:
-            c, drop, dil = args
-            r = jax.random.fold_in(rng, i) if (rng is not None) else None
-            y, ns = apply_non_bottleneck_1d(p, s, y, dilated=dil,
-                                            dropprob=drop, train=train,
-                                            rng=r, compute_dtype=compute_dtype)
-        new_layers.append(ns)
+    y, new_layers = _apply_layer_seq(ENCODER_LAYER_SPECS, params["layers"],
+                                     state["layers"], y, train=train,
+                                     rng=rng, compute_dtype=compute_dtype,
+                                     layer_fn=layer_fn, rng_base=0)
     new_state = {"initial_block": is_, "layers": new_layers}
     if predict:
         y = conv2d(y, params["output_conv"]["w"], params["output_conv"]["b"],
@@ -234,22 +278,12 @@ def init_decoder(key, num_classes):
 
 def apply_decoder(params, state, x, *, train=False, rng=None,
                   compute_dtype=None, layer_fn=None, output_conv_fn=None):
-    y = x
-    new_layers = []
-    for i, (kind, args) in enumerate(DECODER_LAYER_SPECS):
-        p, s = params["layers"][i], state["layers"][i]
-        if layer_fn is not None:
-            y, ns = layer_fn(kind, i, p, s, y, args)
-        elif kind == "up":
-            y, ns = apply_upsampler(p, s, y, train=train,
-                                    compute_dtype=compute_dtype)
-        else:
-            c, drop, dil = args
-            r = jax.random.fold_in(rng, 100 + i) if (rng is not None) else None
-            y, ns = apply_non_bottleneck_1d(p, s, y, dilated=dil,
-                                            dropprob=drop, train=train,
-                                            rng=r, compute_dtype=compute_dtype)
-        new_layers.append(ns)
+    y, new_layers = _apply_layer_seq(
+        DECODER_LAYER_SPECS, params["layers"], state["layers"], x,
+        train=train, rng=rng, compute_dtype=compute_dtype, layer_fn=layer_fn,
+        rng_base=100,
+        apply_up=lambda p, s, t: apply_upsampler(
+            p, s, t, train=train, compute_dtype=compute_dtype))
     if output_conv_fn is not None:
         y = output_conv_fn(y)
     elif train:

@@ -270,18 +270,9 @@ def _bn_packed(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
     return Xp * a + b, new_state
 
 
-def nb1d_train_packed(params, state, x, *, p, dilated, dropprob, train,
-                      rng=None, compute_dtype=None, bn_eps=1e-3):
-    """Differentiable packed non_bottleneck_1d — same math as the unpacked
-    block (models/erfnet.py:apply_non_bottleneck_1d) with p*C = 128 lanes:
-    weight gradients become (pC, pC) matmuls instead of lane-starved
-    (C, C) reductions.  Returns (y, new_bn_state)."""
-    B, H, W, C = x.shape
-    assert W % p == 0
-    X = x.reshape(B, H, W // p, p * C)
-    if compute_dtype is not None:
-        X = X.astype(compute_dtype)
-
+def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
+                            train, rng, bn_eps):
+    """One NB1d block on an ALREADY-PACKED (B, H, Wb, pC) tensor."""
     def taps(name, build, d):
         w = params[name]["w"]
         w3 = w[:, 0] if w.shape[1] == 1 else w[0]
@@ -302,12 +293,49 @@ def nb1d_train_packed(params, state, x, *, p, dilated, dropprob, train,
                          eps=bn_eps)
     if train and dropprob > 0:
         keep = 1.0 - dropprob
-        mask = jax.random.bernoulli(rng, keep, (B, 1, 1, C))
+        mask = jax.random.bernoulli(rng, keep, (X.shape[0], 1, 1, C))
         mask = jnp.tile(mask, (1, 1, 1, p))
         t = jnp.where(mask, t / keep, jnp.zeros_like(t)).astype(t.dtype)
     y = jax.nn.relu(t + X.astype(t.dtype))
-    return (y.reshape(B, H, W, C).astype(x.dtype),
-            {"bn1": bn1s, "bn2": bn2s})
+    return y, {"bn1": bn1s, "bn2": bn2s}
+
+
+def nb1d_train_packed(params, state, x, *, p, dilated, dropprob, train,
+                      rng=None, compute_dtype=None, bn_eps=1e-3):
+    """Differentiable packed non_bottleneck_1d — same math as the unpacked
+    block (models/erfnet.py:apply_non_bottleneck_1d) with p*C = 128 lanes:
+    weight gradients become (pC, pC) matmuls instead of lane-starved
+    (C, C) reductions.  Returns (y, new_bn_state)."""
+    B, H, W, C = x.shape
+    assert W % p == 0
+    X = x.reshape(B, H, W // p, p * C)
+    if compute_dtype is not None:
+        X = X.astype(compute_dtype)
+    y, ns = _nb1d_train_packed_core(params, state, X, p=p, C=C,
+                                    dilated=dilated, dropprob=dropprob,
+                                    train=train, rng=rng, bn_eps=bn_eps)
+    return y.reshape(B, H, W, C).astype(x.dtype), ns
+
+
+def nb1d_train_packed_run(params_list, state_list, x, *, p, dils, drops,
+                          train, rngs, compute_dtype=None, bn_eps=1e-3):
+    """A run of consecutive same-C NB1d blocks, packed ONCE for the whole
+    stage — avoids the lane-padded (M, C<128) layout round-trips at block
+    boundaries that dominate the small-channel stages.  Returns
+    (y, [new_bn_states])."""
+    B, H, W, C = x.shape
+    assert W % p == 0
+    X = x.reshape(B, H, W // p, p * C)
+    if compute_dtype is not None:
+        X = X.astype(compute_dtype)
+    new_states = []
+    for params, state, d, dp, r in zip(params_list, state_list, dils,
+                                       drops, rngs):
+        X, ns = _nb1d_train_packed_core(params, state, X, p=p, C=C,
+                                        dilated=d, dropprob=dp, train=train,
+                                        rng=r, bn_eps=bn_eps)
+        new_states.append(ns)
+    return X.reshape(B, H, W, C).astype(x.dtype), new_states
 
 
 def nb1d_packed(x, packed):
