@@ -65,6 +65,9 @@ def build_parser():
                         "few-core hosts from epoch 2 on)")
     p.add_argument("--tensorboard", action="store_true",
                    help="write tensorboard scalars under savedir/tb/")
+    p.add_argument("--no-fused-kernels", action="store_true",
+                   help="disable the custom-VJP fused Pallas train kernels "
+                        "(use the plain-XLA matmul path)")
     return p
 
 
@@ -77,6 +80,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from ..utils.jax_cache import enable as _enable_cache
     _enable_cache()
+    if args.no_fused_kernels:
+        from ..ops.pallas.nb1d_train import set_fused_train
+        set_fused_train(False)
     savedir = args.savedir if os.path.isabs(args.savedir) \
         else os.path.join("save", args.savedir)
 

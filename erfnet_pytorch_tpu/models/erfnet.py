@@ -97,21 +97,46 @@ def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
         return nb1d_train_packed(params, state, x, p=p, dilated=dilated,
                                  dropprob=dropprob, train=train, rng=rng,
                                  compute_dtype=compute_dtype, bn_eps=BN_EPS)
-    # factorized convs run as shifted MXU matmuls (conv_3tap_mm): same math
-    # as lax convs with SAME padding, ~9x faster fwd+bwd on TPU
-    y = conv_3tap_mm(x, params["conv3x1_1"]["w"], params["conv3x1_1"]["b"],
-                     axis=1, compute_dtype=compute_dtype)
-    y = jax.nn.relu(y)
-    y = conv_3tap_mm(y, params["conv1x3_1"]["w"], params["conv1x3_1"]["b"],
-                     axis=2, compute_dtype=compute_dtype)
-    y, bn1s = batch_norm(y, params["bn1"], state["bn1"], train=train,
-                         eps=BN_EPS)
-    y = jax.nn.relu(y)
-    y = conv_3tap_mm(y, params["conv3x1_2"]["w"], params["conv3x1_2"]["b"],
-                     axis=1, dilation=dilated, compute_dtype=compute_dtype)
-    y = jax.nn.relu(y)
-    y = conv_3tap_mm(y, params["conv1x3_2"]["w"], params["conv1x3_2"]["b"],
-                     axis=2, dilation=dilated, compute_dtype=compute_dtype)
+    from ..ops.pallas.nb1d_train import (fused_pair, fused_train_enabled,
+                                         pair_supported)
+    if (train and c % 128 == 0 and fused_train_enabled()
+            and pair_supported(x.shape)):
+        # fused conv-pair Pallas kernels with custom VJP (one fwd + one bwd
+        # dispatch per pair; the step is per-op-overhead bound on this chip)
+        xc = x.astype(compute_dtype) if compute_dtype else x
+        y = fused_pair(xc, params["conv3x1_1"]["w"][:, 0],
+                       params["conv3x1_1"]["b"],
+                       params["conv1x3_1"]["w"][0],
+                       params["conv1x3_1"]["b"], sh=1, sw=1)
+        y, bn1s = batch_norm(y, params["bn1"], state["bn1"], train=train,
+                             eps=BN_EPS)
+        y = fused_pair(y, params["conv3x1_2"]["w"][:, 0],
+                       params["conv3x1_2"]["b"],
+                       params["conv1x3_2"]["w"][0],
+                       params["conv1x3_2"]["b"], sh=dilated, sw=dilated,
+                       lead_relu=True)
+    else:
+        # factorized convs as shifted MXU matmuls (conv_3tap_mm): same math
+        # as lax convs with SAME padding, ~9x faster fwd+bwd on TPU
+        y = conv_3tap_mm(x, params["conv3x1_1"]["w"],
+                         params["conv3x1_1"]["b"],
+                         axis=1, compute_dtype=compute_dtype)
+        y = jax.nn.relu(y)
+        y = conv_3tap_mm(y, params["conv1x3_1"]["w"],
+                         params["conv1x3_1"]["b"],
+                         axis=2, compute_dtype=compute_dtype)
+        y, bn1s = batch_norm(y, params["bn1"], state["bn1"], train=train,
+                             eps=BN_EPS)
+        y = jax.nn.relu(y)
+        y = conv_3tap_mm(y, params["conv3x1_2"]["w"],
+                         params["conv3x1_2"]["b"],
+                         axis=1, dilation=dilated,
+                         compute_dtype=compute_dtype)
+        y = jax.nn.relu(y)
+        y = conv_3tap_mm(y, params["conv1x3_2"]["w"],
+                         params["conv1x3_2"]["b"],
+                         axis=2, dilation=dilated,
+                         compute_dtype=compute_dtype)
     y, bn2s = batch_norm(y, params["bn2"], state["bn2"], train=train,
                          eps=BN_EPS)
     if train and dropprob > 0:

@@ -272,11 +272,38 @@ def _bn_packed(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
 
 def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
                             train, rng, bn_eps):
-    """One NB1d block on an ALREADY-PACKED (B, H, Wb, pC) tensor."""
-    def taps(name, build, d):
+    """One NB1d block on an ALREADY-PACKED (B, H, Wb, pC) tensor.
+
+    When the fused train kernels are enabled (TPU default) each conv pair
+    runs as ONE Pallas forward + ONE custom-VJP backward kernel — the XLA
+    tap-by-tap form below is the CPU path and the numerics oracle."""
+    from .pallas.nb1d_train import (fused_pair, fused_train_enabled,
+                                    pair_supported, stack_taps_h,
+                                    stack_taps_w)
+
+    def w3(name):
         w = params[name]["w"]
-        w3 = w[:, 0] if w.shape[1] == 1 else w[0]
-        return build(w3, p, d), jnp.tile(params[name]["b"], p)
+        return w[:, 0] if w.shape[1] == 1 else w[0]
+
+    if train and fused_train_enabled() and pair_supported(X.shape):
+        tile = lambda name: jnp.tile(params[name]["b"], p)
+        ww2, s2 = stack_taps_w(w3("conv1x3_1"), p, 1)
+        t = fused_pair(X, stack_taps_h(w3("conv3x1_1"), p),
+                       tile("conv3x1_1"), ww2, tile("conv1x3_1"),
+                       sh=1, sw=s2)
+        t, bn1s = _bn_packed(t, params["bn1"], state["bn1"], p=p,
+                             train=train, eps=bn_eps)
+        ww4, s4 = stack_taps_w(w3("conv1x3_2"), p, dilated)
+        t = fused_pair(t, stack_taps_h(w3("conv3x1_2"), p),
+                       tile("conv3x1_2"), ww4, tile("conv1x3_2"),
+                       sh=dilated, sw=s4, lead_relu=True)
+        t, bn2s = _bn_packed(t, params["bn2"], state["bn2"], p=p,
+                             train=train, eps=bn_eps)
+        return _nb1d_epilogue(params, X, t, bn1s, bn2s, p=p, C=C,
+                              dropprob=dropprob, train=train, rng=rng)
+
+    def taps(name, build, d):
+        return build(w3(name), p, d), jnp.tile(params[name]["b"], p)
 
     t1, b1 = taps("conv3x1_1", taps_h_traced, 1)
     t = packed_conv(X, t1, b1.astype(jnp.float32), axis=-3, relu=True)
@@ -291,6 +318,11 @@ def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
     t = packed_conv(t, t4, b4.astype(jnp.float32), axis=-2, relu=False)
     t, bn2s = _bn_packed(t, params["bn2"], state["bn2"], p=p, train=train,
                          eps=bn_eps)
+    return _nb1d_epilogue(params, X, t, bn1s, bn2s, p=p, C=C,
+                          dropprob=dropprob, train=train, rng=rng)
+
+
+def _nb1d_epilogue(params, X, t, bn1s, bn2s, *, p, C, dropprob, train, rng):
     if train and dropprob > 0:
         keep = 1.0 - dropprob
         mask = jax.random.bernoulli(rng, keep, (X.shape[0], 1, 1, C))

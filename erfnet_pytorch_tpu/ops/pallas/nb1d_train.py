@@ -1,0 +1,406 @@
+"""Custom-VJP fused NB1d conv-pair kernels — the TRAINING-path hot op.
+
+The reference's non_bottleneck_1d (train/erfnet.py — SURVEY.md §2a row 1)
+is two factorized-conv pairs separated by BatchNorms.  In matmul form the
+XLA training step is PER-OP-OVERHEAD bound on this chip (~20-30 us fixed
+cost per op; the math itself is microseconds), so each pair
+
+    pair(x) = conv_w( relu( conv_h(maybe_relu(x)) + bh ) ) + bw
+
+is fused into ONE Pallas forward kernel and ONE Pallas backward kernel
+(jax.custom_vjp).  Cross-batch BatchNorm stays in XLA between pairs (its
+batch reduction must see all images); the backward kernel RECOMPUTES the
+intra-pair activations from the saved input (flash-attention-style), so
+the only residual is the pair input — no extra HBM traffic vs XLA AD.
+
+Geometry: x is (B, H, Wb, C) with C a multiple of 128 — either the real
+128-channel encoder maps (Wb = W) or space-to-depth packed small-channel
+maps (ops/packed.py: (H, W/p, p*C)).  A 3-tap factorized conv is three
+shifted (H*Wb, C) x (C, C) MXU matmuls:
+
+    H-axis taps: row shift by sh*Wb in the flattened map
+    W-axis taps: block shift by sw along Wb (block-tridiagonal packed K)
+
+Weight gradients are accumulated across the batch grid in f32 via output
+revisiting (constant index_map + @pl.when(b == 0) init-else-add).
+
+Tap-stack builders (stack_taps_h / stack_taps_w) produce the packed
+(3, pC, pC) weights as a single traced einsum against a constant one-hot
+placement tensor, so JAX autodiff transposes dK back to the original
+(3, C, C) conv weights in one op.
+"""
+
+from __future__ import annotations
+
+import functools
+from contextlib import contextmanager
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---------------------------------------------------------------------------
+# Enable switch: auto = fused kernels on TPU, plain-XLA path on CPU (the
+# interpreter is for parity tests, not speed).
+# ---------------------------------------------------------------------------
+
+_ENABLED: Optional[bool] = None  # None = auto
+
+
+def fused_train_enabled() -> bool:
+    if _ENABLED is None:
+        # auto: on for a single accelerator; off on CPU (interpret mode is
+        # for tests) and off under a multi-device mesh (pallas_call has no
+        # SPMD partitioning rule — the XLA matmul path shards cleanly)
+        return (jax.default_backend() not in ("cpu",)
+                and jax.device_count() == 1)
+    return _ENABLED
+
+
+def set_fused_train(v: Optional[bool]) -> None:
+    global _ENABLED
+    _ENABLED = v
+
+
+@contextmanager
+def fused_train(v: Optional[bool]):
+    global _ENABLED
+    old = _ENABLED
+    _ENABLED = v
+    try:
+        yield
+    finally:
+        _ENABLED = old
+
+
+# VMEM sizing guard: per-image map element count (backward holds ~6-8 live
+# (M, C) buffers; 2M f32 elements each stays within the v5e's VMEM).
+_MAX_MAP_ELEMS = 2 * 1024 * 1024
+
+
+def pair_supported(shape) -> bool:
+    b, h, wb, c = shape
+    return (c % 128 == 0 and (h * wb) % 8 == 0
+            and h * wb * c <= _MAX_MAP_ELEMS)
+
+
+# ---------------------------------------------------------------------------
+# Traced packed tap-stack builders (single einsum — differentiable, cheap).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _w_placement(p: int, d: int) -> Tuple[np.ndarray, int]:
+    """One-hot placement S (3, 3, p, p): S[qi, k, j_in, j_out] = 1 where the
+    W-axis tap k (offset (k-1)*d) routes output slot j_out from block-shift
+    q in (-s, 0, s) slot j_in.  Mirrors ops/packed.py:build_packed_taps_w."""
+    entries, qs = [], set()
+    for k, o in ((0, -d), (1, 0), (2, +d)):
+        for j_out in range(p):
+            src = j_out + o
+            q, j_in = src // p, src % p
+            entries.append((q, k, j_in, j_out))
+            qs.add(q)
+    s = max(abs(q) for q in qs) or 1
+    assert qs <= {-s, 0, s}, f"asymmetric packed taps {sorted(qs)}"
+    qidx = {-s: 0, 0: 1, s: 2}
+    S = np.zeros((3, 3, p, p), np.float32)
+    for q, k, j_in, j_out in entries:
+        S[qidx[q], k, j_in, j_out] += 1.0
+    return S, s
+
+
+def stack_taps_w(w3, p: int, d: int):
+    """(3, C, C) W-axis taps -> ((3, pC, pC) block stack, block shift s)."""
+    if p == 1:
+        return w3, d
+    S, s = _w_placement(p, d)
+    C = w3.shape[1]
+    K = jnp.einsum("qkij,kcd->qicjd", jnp.asarray(S, w3.dtype), w3)
+    return K.reshape(3, p * C, p * C), s
+
+
+def stack_taps_h(w3, p: int):
+    """(3, C, C) H-axis taps -> block-diagonal (3, pC, pC) (kron(I_p, w))."""
+    if p == 1:
+        return w3
+    C = w3.shape[1]
+    eye = jnp.eye(p, dtype=w3.dtype)
+    return jnp.einsum("ij,kcd->kicjd", eye, w3).reshape(3, p * C, p * C)
+
+
+# ---------------------------------------------------------------------------
+# Shared jnp tap math (used inside the kernels AND as the jnp oracle).
+# out[i] = sum_k x[i + q_k] @ W_k, q_k = (k-1)*s; shift applied to the
+# matmul RESULT (all three matmuls share the x operand).  trans=True gives
+# the AD transpose: sum_k x[i - q_k] @ W_k^T.
+# ---------------------------------------------------------------------------
+
+def _rshift(m, q: int):
+    """Rows of (M, C): out[i] = m[i + q], zero fill."""
+    if q == 0:
+        return m
+    z = jnp.zeros((abs(q),) + m.shape[1:], m.dtype)
+    return (jnp.concatenate([m[q:], z], 0) if q > 0
+            else jnp.concatenate([z, m[:q]], 0))
+
+
+def _bshift(m, q: int):
+    """Axis -2 of (H, Wb, C): out[:, j] = m[:, j + q], zero fill."""
+    if q == 0:
+        return m
+    z = jnp.zeros(m.shape[:-2] + (abs(q), m.shape[-1]), m.dtype)
+    return (jnp.concatenate([m[:, q:], z], 1) if q > 0
+            else jnp.concatenate([z, m[:, :q]], 1))
+
+
+def _dot(x2d, w, trans: bool):
+    dn = (((1,), (1,)), ((), ())) if trans else (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(x2d, w, dimension_numbers=dn,
+                               preferred_element_type=jnp.float32)
+
+
+def _conv3_h(x2d, w3, srows: int, trans: bool = False):
+    """f32 (M, C) = 3-tap H conv on the flattened map (row shift srows)."""
+    acc = None
+    for k in range(3):
+        q = (k - 1) * srows * (-1 if trans else 1)
+        if abs(q) >= x2d.shape[0]:
+            continue
+        m = _rshift(_dot(x2d, w3[k], trans), q)
+        acc = m if acc is None else acc + m
+    return acc
+
+
+def _conv3_w(x3d, w3, s: int, trans: bool = False):
+    """f32 (H, Wb, C) = 3-tap W conv (block shift s along Wb)."""
+    H, Wb, C = x3d.shape
+    acc = None
+    for k in range(3):
+        q = (k - 1) * s * (-1 if trans else 1)
+        if abs(q) >= Wb:
+            continue
+        m = _bshift(_dot(x3d.reshape(H * Wb, C), w3[k],
+                         trans).reshape(H, Wb, -1), q)
+        acc = m if acc is None else acc + m
+    return acc
+
+
+def _pair_math(x, wh, bh, ww, bw, *, sh, sw, lead_relu):
+    """Forward pair on one (H, Wb, C) image; returns (t1 (M,C) act-dtype,
+    z (H, Wb, C) f32)."""
+    H, Wb, C = x.shape
+    t0 = jax.nn.relu(x) if lead_relu else x
+    z1 = _conv3_h(t0.reshape(H * Wb, C), wh, sh * Wb) + bh
+    t1 = jax.nn.relu(z1).astype(x.dtype)
+    z = _conv3_w(t1.reshape(H, Wb, C), ww, sw) + bw
+    return t1, z
+
+
+def pair_reference(x, wh, bh, ww, bw, *, sh, sw, lead_relu=False):
+    """Pure-jnp oracle for fused_pair (same math, batched via vmap)."""
+    def one(img):
+        whc = wh.astype(img.dtype)
+        wwc = ww.astype(img.dtype)
+        _, z = _pair_math(img, whc, bh.astype(jnp.float32),
+                          wwc, bw.astype(jnp.float32),
+                          sh=sh, sw=sw, lead_relu=lead_relu)
+        return z.astype(img.dtype)
+    return jax.vmap(one)(x)
+
+
+# ---------------------------------------------------------------------------
+# Kernels.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, wh, bh, ww, bw, z_ref, *, sh, sw, lead_relu):
+    x = x_ref[0]
+    _, z = _pair_math(x, wh[:].astype(x.dtype), bh[:].astype(jnp.float32),
+                      ww[:].astype(x.dtype), bw[:].astype(jnp.float32),
+                      sh=sh, sw=sw, lead_relu=lead_relu)
+    z_ref[0] = z.astype(z_ref.dtype)
+
+
+def _bwd_kernel(x_ref, g_ref, wh, bh, ww, dx_ref, dwh_ref, dbh_ref,
+                dww_ref, dbw_ref, *, sh, sw, lead_relu):
+    b = pl.program_id(0)
+    x = x_ref[0]                                    # (H, Wb, C)
+    g = g_ref[0]
+    H, Wb, C = x.shape
+    M = H * Wb
+    whc = wh[:].astype(x.dtype)
+    wwc = ww[:].astype(x.dtype)
+
+    # recompute intra-pair activations (ReLU masks compared in f32 —
+    # Mosaic/v5e cannot cmpf packed-bf16 vectors)
+    t0 = jax.nn.relu(x) if lead_relu else x
+    t0f = t0.reshape(M, C)
+    z1 = _conv3_h(t0f, whc, sh * Wb) + bh[:].astype(jnp.float32)  # f32
+    t1f = jax.nn.relu(z1).astype(x.dtype)
+    t1 = t1f.reshape(H, Wb, C)
+
+    # W-conv grads: dww[k] = bshift(t1, q_k)^T @ g; dbw = sum g
+    gf = g.reshape(M, C)
+    dbw = jnp.sum(gf.astype(jnp.float32), axis=0).reshape(1, C)
+    dww = []
+    for k in range(3):
+        q = (k - 1) * sw
+        if abs(q) >= Wb:
+            dww.append(jnp.zeros((C, C), jnp.float32))
+            continue
+        tk = _bshift(t1, q).reshape(M, C)
+        dww.append(jax.lax.dot_general(
+            tk, gf, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dww = jnp.stack(dww)
+
+    # through the inter-conv ReLU
+    dt1 = _conv3_w(g, wwc, sw, trans=True)          # f32 (H, Wb, C)
+    dz1 = jnp.where(z1.reshape(H, Wb, C) > 0, dt1, 0.0)
+    dz1f = dz1.reshape(M, C)
+    dbh = jnp.sum(dz1f, axis=0).reshape(1, C)
+    dz1c = dz1f.astype(x.dtype)
+
+    # H-conv grads: dwh[k] = rshift(t0f, q_k)^T @ dz1
+    dwh = []
+    for k in range(3):
+        q = (k - 1) * sh * Wb
+        if abs(q) >= M:
+            dwh.append(jnp.zeros((C, C), jnp.float32))
+            continue
+        dwh.append(jax.lax.dot_general(
+            _rshift(t0f, q), dz1c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dwh = jnp.stack(dwh)
+
+    dt0 = _conv3_h(dz1c, whc, sh * Wb, trans=True)  # f32 (M, C)
+    if lead_relu:
+        dt0 = jnp.where(x.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
+    dx_ref[0] = dt0.reshape(H, Wb, C).astype(dx_ref.dtype)
+
+    @pl.when(b == 0)
+    def _():
+        dwh_ref[:] = dwh
+        dbh_ref[:] = dbh
+        dww_ref[:] = dww
+        dbw_ref[:] = dbw
+
+    @pl.when(b > 0)
+    def _():
+        dwh_ref[:] = dwh_ref[:] + dwh
+        dbh_ref[:] = dbh_ref[:] + dbh
+        dww_ref[:] = dww_ref[:] + dww
+        dbw_ref[:] = dbw_ref[:] + dbw
+
+
+def _map_spec(H, Wb, C):
+    return pl.BlockSpec((1, H, Wb, C), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _wspec(C):
+    return pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _bspec(C):
+    return pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM)
+
+
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _fwd_call(x, wh, bh, ww, bw, *, sh, sw, lead_relu, interpret):
+    B, H, Wb, C = x.shape
+    kernel = functools.partial(_fwd_kernel, sh=sh, sw=sw,
+                               lead_relu=lead_relu)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[_map_spec(H, Wb, C), _wspec(C), _bspec(C), _wspec(C),
+                  _bspec(C)],
+        out_specs=_map_spec(H, Wb, C),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * H * Wb * C * C,
+            bytes_accessed=2 * H * Wb * C * x.dtype.itemsize
+            + 6 * C * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, wh, bh, ww, bw)
+
+
+def _bwd_call(x, g, wh, bh, ww, *, sh, sw, lead_relu, interpret):
+    B, H, Wb, C = x.shape
+    kernel = functools.partial(_bwd_kernel, sh=sh, sw=sw,
+                               lead_relu=lead_relu)
+    acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C), _wspec(C),
+                  _bspec(C), _wspec(C)],
+        out_specs=(_map_spec(H, Wb, C), acc_w, acc_b, acc_w, acc_b),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),        # dx
+            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dwh
+            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbh
+            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dww
+            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbw
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * 2 * H * Wb * C * C,
+            bytes_accessed=3 * H * Wb * C * x.dtype.itemsize
+            + 12 * C * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, g, wh, bh, ww)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_op(sh: int, sw: int, lead_relu: bool, interpret: bool):
+    @jax.custom_vjp
+    def op(x, wh, bh, ww, bw):
+        return _fwd_call(x, wh, bh, ww, bw, sh=sh, sw=sw,
+                         lead_relu=lead_relu, interpret=interpret)
+
+    def fwd(x, wh, bh, ww, bw):
+        z = _fwd_call(x, wh, bh, ww, bw, sh=sh, sw=sw,
+                      lead_relu=lead_relu, interpret=interpret)
+        return z, (x, wh, bh, ww)
+
+    def bwd(res, g):
+        x, wh, bh, ww = res
+        dx, dwh, dbh, dww, dbw = _bwd_call(
+            x, g.astype(x.dtype), wh, bh, ww, sh=sh, sw=sw,
+            lead_relu=lead_relu, interpret=interpret)
+        return (dx, dwh.astype(wh.dtype), dbh.reshape(-1).astype(bh.dtype),
+                dww.astype(ww.dtype), dbw.reshape(-1))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_pair(x, wh, bh, ww, bw, *, sh: int, sw: int,
+               lead_relu: bool = False, interpret: Optional[bool] = None):
+    """Fused factorized-conv pair with a Pallas custom VJP.
+
+    x: (B, H, Wb, C) activations (C % 128 == 0; packed or native layout).
+    wh/ww: (3, C, C) tap stacks (H-axis / W-axis), f32 recommended — weight
+    grads then come back f32 regardless of the activation dtype.
+    bh/bw: (C,).  sh: H shift in rows; sw: W shift in Wb blocks.
+    lead_relu folds a leading ReLU (the post-BN1 one) into the kernel.
+    Returns z = conv_w(relu(conv_h(maybe_relu(x)) + bh)) + bw, x.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dbw = bw.astype(jnp.float32)
+    return _pair_op(int(sh), int(sw), bool(lead_relu), bool(interpret))(
+        x, wh, bh.astype(jnp.float32), ww, dbw)

@@ -1,0 +1,132 @@
+"""Custom-VJP fused train conv-pair kernel (ops/pallas/nb1d_train) parity.
+
+Kernels run in Pallas interpret mode on CPU; the XLA tap-by-tap path
+(packed_conv / conv_3tap_mm) is the oracle for both values and gradients
+(SURVEY.md §4 unit strategy).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from erfnet_pytorch_tpu.ops.pallas.nb1d_train import (
+    fused_pair, fused_train, pair_reference, stack_taps_h, stack_taps_w)
+from erfnet_pytorch_tpu.ops.packed import (build_packed_taps_h,
+                                           build_packed_taps_w,
+                                           nb1d_train_packed)
+from erfnet_pytorch_tpu.models.erfnet import (apply_non_bottleneck_1d,
+                                              init_non_bottleneck_1d)
+
+
+def _rand_pair(key, C, B=2, H=8, Wb=16, dtype=jnp.float32):
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (B, H, Wb, C), dtype)
+    wh = jax.random.normal(ks[1], (3, C, C)) * 0.05
+    ww = jax.random.normal(ks[2], (3, C, C)) * 0.05
+    bh = jax.random.normal(ks[3], (C,))
+    bw = jax.random.normal(ks[4], (C,))
+    return x, wh, bh, ww, bw
+
+
+@pytest.mark.parametrize("sh,sw,lead", [
+    (1, 1, False), (2, 2, True), (16, 8, True), (4, 1, False),
+])
+def test_fused_pair_value_and_grads(sh, sw, lead):
+    x, wh, bh, ww, bw = _rand_pair(jax.random.PRNGKey(sh * 7 + sw), 128)
+    f = lambda *a: fused_pair(*a, sh=sh, sw=sw, lead_relu=lead)
+    r = lambda *a: pair_reference(*a, sh=sh, sw=sw, lead_relu=lead)
+    z, vjp_f = jax.vjp(f, x, wh, bh, ww, bw)
+    z_ref, vjp_r = jax.vjp(r, x, wh, bh, ww, bw)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.random.normal(jax.random.PRNGKey(9), z.shape)
+    for got, ref, name in zip(vjp_f(g), vjp_r(g), "x wh bh ww bw".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name} (sh={sh} sw={sw})")
+
+
+def test_fused_pair_bf16_close_to_f32():
+    x, wh, bh, ww, bw = _rand_pair(jax.random.PRNGKey(0), 128)
+    z32 = pair_reference(x, wh, bh, ww, bw, sh=1, sw=1)
+    z16 = fused_pair(x.astype(jnp.bfloat16), wh, bh, ww, bw, sh=1, sw=1)
+    assert z16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(z16, np.float32), np.asarray(z32),
+                               rtol=0.1, atol=0.15)
+    # weight grads stay f32 even with bf16 activations
+    _, vjp = jax.vjp(lambda w: fused_pair(x.astype(jnp.bfloat16), w, bh, ww,
+                                          bw, sh=1, sw=1), wh)
+    (dwh,) = vjp(jnp.ones((2, 8, 16, 128), jnp.bfloat16))
+    assert dwh.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("p,d", [(2, 1), (8, 1), (2, 16), (8, 2), (4, 2)])
+def test_stack_builders_match_packed_taps(p, d):
+    w3 = np.random.RandomState(p + d).randn(3, 16, 16).astype(np.float32)
+    K, s = stack_taps_w(jnp.asarray(w3), p, d)
+    ref = dict(build_packed_taps_w(w3, p, d))
+    for i, q in enumerate((-s, 0, s)):
+        np.testing.assert_allclose(
+            np.asarray(K[i]), ref.get(q, np.zeros((16 * p, 16 * p))),
+            rtol=1e-6, atol=1e-6)
+    Kh = stack_taps_h(jnp.asarray(w3), p)
+    for i, (q, Kref) in enumerate(build_packed_taps_h(w3, p, d)):
+        np.testing.assert_allclose(np.asarray(Kh[i]), Kref, atol=1e-6)
+
+
+@pytest.mark.parametrize("c,p,d,drop", [(16, 8, 1, 0.0), (64, 2, 1, 0.3)])
+def test_packed_block_fused_matches_xla(c, p, d, drop):
+    params, state = init_non_bottleneck_1d(jax.random.PRNGKey(3), c)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 16 * p, c))
+    rng = jax.random.PRNGKey(5)
+
+    def run(params, x):
+        y, ns = nb1d_train_packed(params, state, x, p=p, dilated=d,
+                                  dropprob=drop, train=True, rng=rng)
+        return y, ns
+
+    with fused_train(False):
+        (y_ref, ns_ref), vjp_ref = _value_vjp(run, params, x)
+    with fused_train(True):
+        (y_f, ns_f), vjp_f = _value_vjp(run, params, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4), ns_f, ns_ref)
+    g = jax.random.normal(jax.random.PRNGKey(6), y_ref.shape)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4),
+        vjp_f(g), vjp_ref(g))
+
+
+def _value_vjp(run, params, x):
+    """vjp of y wrt (params, x), also returning the new BN state."""
+    y, vjp, ns = jax.vjp(run, params, x, has_aux=True)
+    return (y, ns), vjp
+
+
+@pytest.mark.parametrize("d,drop", [(1, 0.0), (16, 0.3)])
+def test_c128_block_fused_matches_xla(d, drop):
+    c = 128
+    params, state = init_non_bottleneck_1d(jax.random.PRNGKey(7), c)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 16, c))
+    rng = jax.random.PRNGKey(9)
+
+    def run(params, x):
+        return apply_non_bottleneck_1d(params, state, x, dilated=d,
+                                       dropprob=drop, train=True, rng=rng)
+
+    with fused_train(False):
+        (y_ref, ns_ref), vjp_ref = _value_vjp(run, params, x)
+    with fused_train(True):
+        (y_f, ns_f), vjp_f = _value_vjp(run, params, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4), ns_f, ns_ref)
+    g = jax.random.normal(jax.random.PRNGKey(10), y_ref.shape)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4),
+        vjp_f(g), vjp_ref(g))
