@@ -341,15 +341,17 @@ def init(key, num_classes=20, encoder=None):
 
 def apply(params, state, x, *, train=False, rng=None, only_encode=False,
           compute_dtype=None, encoder_layer_fn=None, decoder_layer_fn=None,
-          decoder_output_conv_fn=None):
+          decoder_output_conv_fn=None, skip_head=False):
     """Forward pass. x: (B, H, W, 3) -> logits (B, H', W', num_classes).
 
     only_encode=True mirrors ``Net.forward(input, only_encode=True)``:
     encoder with its 1x1 prediction head at 1/8 resolution.
+    skip_head=True returns PRE-head features (the fused head+loss train
+    kernel applies the prediction head itself — ops/pallas/head_loss.py).
     """
     if only_encode:
         y, es = apply_encoder(params["encoder"], state["encoder"], x,
-                              train=train, rng=rng, predict=True,
+                              train=train, rng=rng, predict=not skip_head,
                               compute_dtype=compute_dtype,
                               layer_fn=encoder_layer_fn)
         return y, {"encoder": es, "decoder": state["decoder"]}
@@ -359,5 +361,6 @@ def apply(params, state, x, *, train=False, rng=None, only_encode=False,
     y, ds = apply_decoder(params["decoder"], state["decoder"], y, train=train,
                           rng=rng, compute_dtype=compute_dtype,
                           layer_fn=decoder_layer_fn,
-                          output_conv_fn=decoder_output_conv_fn)
+                          output_conv_fn=(lambda t: t) if skip_head
+                          else decoder_output_conv_fn)
     return y, {"encoder": es, "decoder": ds}

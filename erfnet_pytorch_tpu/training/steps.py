@@ -46,10 +46,55 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
 
     images: (B, H, W, 3) float in [0,1]; labels: (B, H, W) int32 raw-void
     (255); augmentation + relabel + (enc) x8 label downsample happen inside.
+
+    When the fused Pallas train kernels are enabled and train-IoU preds are
+    not requested, the prediction head + weighted NLL run as one fused
+    kernel on pre-head features (full-resolution logits never touch HBM —
+    ops/pallas/head_loss.py).
     """
+    import inspect
+
     cw = jnp.asarray(class_weights)
+    ncls = int(cw.shape[0])
+    head_op = None
+    if (not with_pred
+            and "skip_head" in inspect.signature(model.apply).parameters):
+        from ..ops.pallas.head_loss import make_head_loss
+        head_op = make_head_loss(cw, n_classes=ncls, G=1 if enc else 4)
+
+    def fused_head_loss(params, feats, labels):
+        from ..ops.pallas.head_loss import pack_labels_2x2
+        K = feats.shape[-1]
+        if enc:
+            w = params["encoder"]["output_conv"]
+            num, den = head_op(feats.reshape(-1, K), w["w"][0, 0],
+                               w["b"].astype(jnp.float32),
+                               labels.reshape(-1, 1))
+        else:
+            from ..ops.convt_mm import build_head_matmul
+            w = params["decoder"]["output_conv"]
+            Wm, bm = build_head_matmul(w["w"], w["b"])
+            num, den = head_op(feats.reshape(-1, K), Wm, bm,
+                               pack_labels_2x2(labels))
+        return num / jnp.maximum(den, 1e-12)
 
     def loss_fn(params, batch_stats, images, labels, rng):
+        from ..ops.pallas.head_loss import head_loss_supported
+        from ..ops.pallas.nb1d_train import fused_train_enabled
+        B = images.shape[0]
+        fh, fw = images.shape[1] // (8 if enc else 1), \
+            images.shape[2] // (8 if enc else 1)
+        use_fused = (head_op is not None and fused_train_enabled()
+                     and head_loss_supported(
+                         B * (fh // (1 if enc else 2))
+                         * (fw // (1 if enc else 2)),
+                         128 if enc else 16, 1 if enc else 4, ncls))
+        if use_fused:
+            feats, new_stats = model.apply(
+                params, batch_stats, images, train=True,
+                rng=jax.random.fold_in(rng, 1), only_encode=enc,
+                compute_dtype=compute_dtype, skip_head=True)
+            return fused_head_loss(params, feats, labels), (new_stats, None)
         logits, new_stats = model.apply(
             params, batch_stats, images, train=True,
             rng=jax.random.fold_in(rng, 1), only_encode=enc,
