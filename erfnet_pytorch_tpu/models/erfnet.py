@@ -301,14 +301,75 @@ def init_decoder(key, num_classes):
     return params, {"layers": lstate}
 
 
+def _decoder_packed_ok(shape):
+    """Packed-through decoder train path applies to the canonical layer
+    list on 128-channel encoder maps that fit the kernels' VMEM budget."""
+    from ..ops.pallas.upsampler import ups_packed_supported
+    from ..ops.pallas.nb1d_train import pair_supported
+    b, h, w, c = shape
+    return (c == 128 and w % 4 == 0
+            and [k for k, _ in DECODER_LAYER_SPECS]
+            == ["up", "nb1d", "nb1d", "up", "nb1d", "nb1d"]
+            and ups_packed_supported(shape, 1, 2)
+            and ups_packed_supported((b, 2 * h, w, 128), 2, 8)
+            and pair_supported((b, 2 * h, w, 128))
+            and pair_supported((b, 4 * h, w // 2, 128)))
+
+
+def _apply_decoder_packed_train(params, state, x, *, rng, compute_dtype):
+    """Decoder train path entirely in W-packed layouts: packed upsampler
+    kernels (ops/pallas/upsampler.py) feed the packed NB1d runs directly —
+    no full-resolution d2s/pack layout round-trips between stages.
+    Returns (pre-head features (B, 4H, 4W_in, 16), new layer states)."""
+    from ..ops.packed import _bn_packed, nb1d_train_packed_core_run
+    from ..ops.pallas.upsampler import upsampler_packed
+    layers, lstate = params["layers"], state["layers"]
+    new_layers: List[Any] = [None] * len(layers)
+    X = x.astype(compute_dtype) if compute_dtype is not None else x
+
+    def up(i, X, pi, po, p_bn):
+        y = upsampler_packed(X, layers[i]["conv"]["w"],
+                             layers[i]["conv"]["b"], pi=pi, po=po)
+        y, bns = _bn_packed(y, layers[i]["bn"], lstate[i]["bn"], p=p_bn,
+                            train=True, eps=BN_EPS)
+        new_layers[i] = {"bn": bns}
+        return jax.nn.relu(y)
+
+    def run(idxs, X, p, C):
+        rngs = [jax.random.fold_in(rng, 100 + k) if rng is not None
+                else None for k in idxs]
+        X, states = nb1d_train_packed_core_run(
+            [layers[k] for k in idxs], [lstate[k] for k in idxs], X,
+            p=p, C=C, dils=[DECODER_LAYER_SPECS[k][1][2] for k in idxs],
+            drops=[DECODER_LAYER_SPECS[k][1][1] for k in idxs],
+            train=True, rngs=rngs, bn_eps=BN_EPS)
+        for k, ns in zip(idxs, states):
+            new_layers[k] = ns
+        return X
+
+    X = up(0, X, 1, 2, 2)          # (B, 2H, W, 128) = packed-p2 C64
+    X = run([1, 2], X, 2, 64)
+    X = up(3, X, 2, 8, 8)          # (B, 4H, W/2, 128) = packed-p8 C16
+    X = run([4, 5], X, 8, 16)
+    B, H4, Wb, pc = X.shape
+    y = X.reshape(B, H4, Wb * 8, 16)   # unpack for the head
+    return y, new_layers
+
+
 def apply_decoder(params, state, x, *, train=False, rng=None,
                   compute_dtype=None, layer_fn=None, output_conv_fn=None):
-    y, new_layers = _apply_layer_seq(
-        DECODER_LAYER_SPECS, params["layers"], state["layers"], x,
-        train=train, rng=rng, compute_dtype=compute_dtype, layer_fn=layer_fn,
-        rng_base=100,
-        apply_up=lambda p, s, t: apply_upsampler(
-            p, s, t, train=train, compute_dtype=compute_dtype))
+    from ..ops.pallas.nb1d_train import fused_train_enabled
+    if (train and layer_fn is None and fused_train_enabled()
+            and _decoder_packed_ok(x.shape)):
+        y, new_layers = _apply_decoder_packed_train(
+            params, state, x, rng=rng, compute_dtype=compute_dtype)
+    else:
+        y, new_layers = _apply_layer_seq(
+            DECODER_LAYER_SPECS, params["layers"], state["layers"], x,
+            train=train, rng=rng, compute_dtype=compute_dtype,
+            layer_fn=layer_fn, rng_base=100,
+            apply_up=lambda p, s, t: apply_upsampler(
+                p, s, t, train=train, compute_dtype=compute_dtype))
     if output_conv_fn is not None:
         y = output_conv_fn(y)
     elif train:

@@ -349,6 +349,21 @@ def nb1d_train_packed(params, state, x, *, p, dilated, dropprob, train,
     return y.reshape(B, H, W, C).astype(x.dtype), ns
 
 
+def nb1d_train_packed_core_run(params_list, state_list, X, *, p, C, dils,
+                               drops, train, rngs, bn_eps=1e-3):
+    """Run of NB1d blocks on an ALREADY-PACKED (B, H, Wb, pC) tensor —
+    the decoder's packed-through train path (models/erfnet.py) keeps
+    activations packed across upsampler boundaries.  Returns (X, states)."""
+    new_states = []
+    for params, state, d, dp, r in zip(params_list, state_list, dils,
+                                       drops, rngs):
+        X, ns = _nb1d_train_packed_core(params, state, X, p=p, C=C,
+                                        dilated=d, dropprob=dp, train=train,
+                                        rng=r, bn_eps=bn_eps)
+        new_states.append(ns)
+    return X, new_states
+
+
 def nb1d_train_packed_run(params_list, state_list, x, *, p, dils, drops,
                           train, rngs, compute_dtype=None, bn_eps=1e-3):
     """A run of consecutive same-C NB1d blocks, packed ONCE for the whole

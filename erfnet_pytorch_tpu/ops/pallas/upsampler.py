@@ -1,0 +1,264 @@
+"""Packed-layout UpsamplerBlock kernel (Pallas, custom VJP) — train path.
+
+Reference surface: ``train/erfnet.py:UpsamplerBlock`` (ConvTranspose2d
+k3 s2 p1 op1 + BN + ReLU; SURVEY.md §2a row 1).  The XLA train path
+assembled 4 shifted input copies (ops/convt_mm.py xcat), ran the parity
+matmul, depth-to-spaced to full resolution, and space-to-depth re-packed
+for the next NB1d stage — ~5 ms/step of pure layout traffic at batch 6.
+
+TPU-native identity used here: a stride-2 transposed conv from a
+W-packed input (B, H, Wb, pi*Cin) straight into the NEXT stage's W-packed
+layout (B, 2H, Wbo, po*Cout) is
+
+    out_a = sum_{qh, qw in {0,1}}  shift(Xm, qh rows, qw blocks) @ K[a,qh,qw]
+
+with Xm the input with adjacent blocks lane-merged to po/2 slots and
+K[a,qh,qw] constant slot-placements of the parity-plane weight blocks
+(built by ONE traced einsum -> autodiff maps dK back to the conv weight).
+a in {0,1} is the output row parity; rows interleave via a free
+(H, 2, ...) -> (2H, ...) leading-dim merge.  8 MXU matmuls per image
+replace the whole xcat/d2s/pack chain; the custom-VJP backward runs the
+transposed shifts and accumulates dK in f32 across the batch grid.
+
+BatchNorm stays in XLA between stages (ops/packed.py:_bn_packed computes
+exact unpacked batch stats on packed tensors).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.lru_cache(maxsize=None)
+def _ups_placement(pi: int, po: int):
+    """One-hot S (2a, 2qh, 2qw, 4row, 4col, po/2 u_in, po t): routes the
+    parity-plane weight block (row m = [x, x_h, x_w, x_hw], col n = plane
+    a*2+b of ops/convt_mm.py:build_upsampler_matmul) into the packed tap
+    matrix K[a, qh, qw].  Output slot t = 2u + b reads merged-input slot
+    u + mw, spilling into block qw = (u + mw) // (po/2)."""
+    half = po // 2
+    assert half % pi == 0
+    rowidx = {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3}
+    S = np.zeros((2, 2, 2, 4, 4, half, po), np.float32)
+    for a in (0, 1):
+        for mh in (0, 1):
+            for mw in (0, 1):
+                for t in range(po):
+                    b, u = t % 2, t // 2
+                    qw, u_in = (u + mw) // half, (u + mw) % half
+                    S[a, mh, qw, rowidx[(mh, mw)], a * 2 + b, u_in, t] += 1
+    return S
+
+
+def build_ups_packed(Wcat, bias4, pi: int, po: int):
+    """(Wcat (4Cin, 4Cout), bias4 (4Cout,)) from build_upsampler_matmul ->
+    (K (2,2,2, (po/2)*Cin, po*Cout), bias (po*Cout,)).  Traced einsum."""
+    cin = Wcat.shape[0] // 4
+    cout = Wcat.shape[1] // 4
+    half = po // 2
+    S = jnp.asarray(_ups_placement(pi, po), Wcat.dtype)
+    Wblk = Wcat.reshape(4, cin, 4, cout)
+    K = jnp.einsum("aqwmnut,mcnd->aqwuctd", S, Wblk)
+    return (K.reshape(2, 2, 2, half * cin, po * cout),
+            jnp.tile(bias4[:cout], po))
+
+
+def _hshift(m, q: int):
+    """Axis 0 of (H, Wb, C): out[i] = m[i + q], zero fill."""
+    if q == 0:
+        return m
+    z = jnp.zeros((abs(q),) + m.shape[1:], m.dtype)
+    return (jnp.concatenate([m[q:], z], 0) if q > 0
+            else jnp.concatenate([z, m[:q]], 0))
+
+
+def _bshift(m, q: int):
+    if q == 0:
+        return m
+    z = jnp.zeros(m.shape[:-2] + (abs(q), m.shape[-1]), m.dtype)
+    return (jnp.concatenate([m[:, q:], z], 1) if q > 0
+            else jnp.concatenate([z, m[:, :q]], 1))
+
+
+def _ups_fwd_kernel(x_ref, K, bias, out_ref, *, H, Wbo, Chm, Co):
+    x = x_ref[0].reshape(H, Wbo, Chm)          # lane-merge adjacent blocks
+    xf = x.reshape(H * Wbo, Chm)
+    Kc = K[:].astype(x.dtype)
+    b = bias[:].astype(jnp.float32)
+    for a in (0, 1):
+        acc = None
+        for qh in (0, 1):
+            for qw in (0, 1):
+                m = jnp.dot(xf, Kc[a, qh, qw],
+                            preferred_element_type=jnp.float32)
+                m = m.reshape(H, Wbo, Co)
+                if qh:
+                    m = _hshift(m, qh)
+                if qw:
+                    m = _bshift(m, qw)
+                acc = m if acc is None else acc + m
+        out_ref[0, :, a] = (acc + b).astype(out_ref.dtype)
+
+
+def _ups_bwd_kernel(x_ref, g_ref, K, dx_ref, dK_ref, db_ref, *,
+                    H, Wbo, Chm, Co):
+    i = pl.program_id(0)
+    x = x_ref[0].reshape(H, Wbo, Chm)
+    xf = x.reshape(H * Wbo, Chm)
+    Kc = K[:].astype(x.dtype)
+    dxm = None
+    dKs = []
+    db = None
+    for a in (0, 1):
+        ga = g_ref[0][:, a]                     # (H, Wbo, Co)
+        db_a = jnp.sum(ga.reshape(H * Wbo, Co).astype(jnp.float32), axis=0)
+        db = db_a if db is None else db + db_a
+        for qh in (0, 1):
+            for qw in (0, 1):
+                gs = ga
+                if qh:
+                    gs = _hshift(gs, -qh)
+                if qw:
+                    gs = _bshift(gs, -qw)
+                gsf = gs.reshape(H * Wbo, Co)
+                dKs.append(jax.lax.dot_general(
+                    xf, gsf, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                m = jax.lax.dot_general(
+                    gsf, Kc[a, qh, qw],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dxm = m if dxm is None else dxm + m
+    dx_ref[0] = dxm.reshape(x_ref.shape[1:]).astype(dx_ref.dtype)
+    dK = jnp.stack(dKs).reshape(2, 2, 2, Chm, Co)
+    db = db.reshape(1, Co)
+
+    @pl.when(i == 0)
+    def _():
+        dK_ref[:] = dK
+        db_ref[:] = db
+
+    @pl.when(i > 0)
+    def _():
+        dK_ref[:] = dK_ref[:] + dK
+        db_ref[:] = db_ref[:] + db
+
+
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _call_fwd(x, K, bias, *, interpret):
+    B, H, Wb, Ci = x.shape
+    Chm, Co = K.shape[3], K.shape[4]
+    Wbo = (H * Wb * Ci) // (H * Chm)
+    kernel = functools.partial(_ups_fwd_kernel, H=H, Wbo=Wbo, Chm=Chm, Co=Co)
+    v = pltpu.VMEM
+    out5 = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, Wb, Ci), lambda b: (b, 0, 0, 0),
+                         memory_space=v),
+            pl.BlockSpec(K.shape, lambda b: (0,) * 5, memory_space=v),
+            pl.BlockSpec((Co,), lambda b: (0,), memory_space=v),
+        ],
+        out_specs=pl.BlockSpec((1, H, 2, Wbo, Co),
+                               lambda b: (b, 0, 0, 0, 0), memory_space=v),
+        out_shape=jax.ShapeDtypeStruct((B, H, 2, Wbo, Co), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * 2 * H * Wbo * Chm * Co,
+            bytes_accessed=2 * H * Wb * Ci * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, K, bias)
+    return out5.reshape(B, 2 * H, Wbo, Co)
+
+
+def _call_bwd(x, g, K, *, interpret):
+    B, H, Wb, Ci = x.shape
+    Chm, Co = K.shape[3], K.shape[4]
+    Wbo = (H * Wb * Ci) // (H * Chm)
+    kernel = functools.partial(_ups_bwd_kernel, H=H, Wbo=Wbo, Chm=Chm, Co=Co)
+    v = pltpu.VMEM
+    dx, dK, db = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, Wb, Ci), lambda b: (b, 0, 0, 0),
+                         memory_space=v),
+            pl.BlockSpec((1, H, 2, Wbo, Co), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=v),
+            pl.BlockSpec(K.shape, lambda b: (0,) * 5, memory_space=v),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, H, Wb, Ci), lambda b: (b, 0, 0, 0),
+                         memory_space=v),
+            pl.BlockSpec(K.shape, lambda b: (0,) * 5, memory_space=v),
+            pl.BlockSpec((1, Co), lambda b: (0, 0), memory_space=v),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(K.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, Co), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=24 * 2 * H * Wbo * Chm * Co,
+            bytes_accessed=4 * H * Wb * Ci * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, g.reshape(B, H, 2, Wbo, Co), K)
+    return dx, dK, db.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _ups_op(interpret: bool):
+    @jax.custom_vjp
+    def op(x, K, bias):
+        return _call_fwd(x, K, bias, interpret=interpret)
+
+    def fwd(x, K, bias):
+        return _call_fwd(x, K, bias, interpret=interpret), (x, K)
+
+    def bwd(res, g):
+        x, K = res
+        dx, dK, db = _call_bwd(x, g.astype(x.dtype), K, interpret=interpret)
+        return dx, dK.astype(K.dtype), db
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def upsampler_packed(x, w_hwio, b, *, pi: int, po: int,
+                     interpret: Optional[bool] = None):
+    """Packed-in/packed-out UpsamplerBlock conv (pre-BN).
+
+    x: (B, H, Wb, pi*Cin) W-packed activations; w_hwio/b the
+    ConvTranspose2d(Cin, Cout, 3, s2, p1, op1) parameters in forward-conv
+    HWIO storage (ops/conv.py).  Returns (B, 2H, Wbo, po*Cout) with
+    Wbo = Wb * 2 * pi // po.  Differentiable in x, w, b.
+    """
+    from ..convt_mm import build_upsampler_matmul
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    Wcat, bias4 = build_upsampler_matmul(w_hwio, b)
+    K, bias = build_ups_packed(Wcat, bias4, pi, po)
+    return _ups_op(bool(interpret))(x, K.astype(jnp.float32),
+                                    bias.astype(jnp.float32))
+
+
+def ups_packed_supported(x_shape, pi: int, po: int) -> bool:
+    b, h, wb, ci = x_shape
+    cin = ci // pi
+    half = po // 2
+    return (ci % 128 == 0 and half % pi == 0
+            and (wb * pi * 2) % po == 0
+            and h * wb * ci <= 2 * 1024 * 1024)

@@ -165,3 +165,33 @@ def test_train_step_fused_head_loss_matches(enc):
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=5e-3, atol=2.5e-3),
         ts_f.params, ts_ref.params)
+
+
+@pytest.mark.parametrize("pi,po,cin,cout", [(1, 2, 128, 64), (2, 8, 64, 16)])
+def test_upsampler_packed_matches_matmul_form(pi, po, cin, cout):
+    from erfnet_pytorch_tpu.ops.pallas.upsampler import upsampler_packed
+    from erfnet_pytorch_tpu.ops.convt_mm import (apply_upsampler_matmul,
+                                                 build_upsampler_matmul)
+    rng = np.random.RandomState(pi * 10 + po)
+    B, H, W = 2, 8, 32
+    x = jnp.asarray(rng.randn(B, H, W, cin), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+    xp = x.reshape(B, H, W // pi, pi * cin)
+
+    def ref(xp, w, b):
+        Wcat, bias = build_upsampler_matmul(w, b)
+        y = apply_upsampler_matmul(xp.reshape(B, H, W, cin), Wcat, bias,
+                                   relu=False)
+        return y.reshape(B, 2 * H, (2 * W) // po, po * cout)
+
+    fused = lambda xp, w, b: upsampler_packed(xp, w, b, pi=pi, po=po)
+    y_ref, vjp_r = jax.vjp(ref, xp, w, b)
+    y_f, vjp_f = jax.vjp(fused, xp, w, b)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    g = jnp.asarray(rng.randn(*y_ref.shape), jnp.float32)
+    for got, want, name in zip(vjp_f(g), vjp_r(g), "x w b".split()):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"grad {name}")
