@@ -83,10 +83,11 @@ def measure_train(batch_size, iters=20):
 
     # train steps chain through TrainState already — honest by construction
     state = {"ts": ts0}
+    key = jax.random.PRNGKey(0)  # hoisted: a per-step host PRNGKey costs ms
 
     def fn(carry):
         state["ts"], loss = step(state["ts"], images + carry * 0.0, labels,
-                                 jax.random.PRNGKey(0))
+                                 key)
         return loss
 
     dt = _timed_chain(fn, jnp.float32(0), iters)

@@ -275,10 +275,82 @@ def _apply_layer_seq(specs, layers_params, layers_state, y, *, train, rng,
     return y, new_layers
 
 
+_STEM_PI = 32  # image W-packing for the packed stem kernel (32*3=96 lanes)
+
+
+def _encoder_packed_ok(shape):
+    from ..ops.pallas.downsampler import down_packed_supported
+    from ..ops.pallas.nb1d_train import pair_supported
+    b, h, w, c = shape
+    kinds = [k for k, _ in ENCODER_LAYER_SPECS]
+    return (c == 3 and h % 8 == 0 and w % (2 * _STEM_PI) == 0
+            and kinds == ["down"] + ["nb1d"] * 5 + ["down"] + ["nb1d"] * 8
+            and down_packed_supported((b, h, w // _STEM_PI, _STEM_PI * 3),
+                                      _STEM_PI)
+            and down_packed_supported((b, h // 2, w // 16, 128), 8)
+            and down_packed_supported((b, h // 4, w // 8, 128), 2)
+            and pair_supported((b, h // 4, w // 8, 128))
+            and pair_supported((b, h // 8, w // 8, 128)))
+
+
+def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype):
+    """Encoder train path in W-packed layouts end to end: packed stem
+    (Down 3->16) -> packed Down(16,64) -> packed C64 run -> Down(64,128)
+    -> dilated C128 blocks (fused conv-pair kernels).  No s2d/pool/pack
+    layout round-trips between stages."""
+    from ..ops.packed import _bn_packed, nb1d_train_packed_core_run
+    from ..ops.pallas.downsampler import downsampler_packed
+    B, H, W, _ = x.shape
+    layers, lstate = params["layers"], state["layers"]
+    new_layers: List[Any] = [None] * len(layers)
+    xc = x.astype(compute_dtype) if compute_dtype is not None else x
+
+    def down(p, s, X, pi, po, cout):
+        y = downsampler_packed(X, p["conv"]["w"], p["conv"]["b"], pi=pi)
+        b_, h2, wb, cl = y.shape
+        y = y.reshape(b_, h2, (wb * cl) // (po * cout), po * cout)
+        y, bns = _bn_packed(y, p["bn"], s["bn"], p=po, train=True,
+                            eps=BN_EPS)
+        return jax.nn.relu(y), {"bn": bns}
+
+    # stem: image W-packed view (free row-major regroup)
+    X = xc.reshape(B, H, W // _STEM_PI, _STEM_PI * 3)
+    X, is_ = down(params["initial_block"], state["initial_block"], X,
+                  _STEM_PI, 8, 16)                   # (B, H/2, W/16, 128)
+    X, new_layers[0] = down(layers[0], lstate[0], X, 8, 2, 64)
+    rngs = [jax.random.fold_in(rng, i) if rng is not None else None
+            for i in range(1, 6)]
+    X, run_states = nb1d_train_packed_core_run(
+        layers[1:6], lstate[1:6], X, p=2, C=64,
+        dils=[ENCODER_LAYER_SPECS[k][1][2] for k in range(1, 6)],
+        drops=[ENCODER_LAYER_SPECS[k][1][1] for k in range(1, 6)],
+        train=True, rngs=rngs, bn_eps=BN_EPS)
+    new_layers[1:6] = run_states
+    X, new_layers[6] = down(layers[6], lstate[6], X, 2, 1, 128)
+    y = X                                            # (B, H/8, W/8, 128)
+    for i in range(7, 15):
+        c, drop, dil = ENCODER_LAYER_SPECS[i][1]
+        r = jax.random.fold_in(rng, i) if rng is not None else None
+        y, new_layers[i] = apply_non_bottleneck_1d(
+            layers[i], lstate[i], y, dilated=dil, dropprob=drop,
+            train=True, rng=r, compute_dtype=compute_dtype)
+    return y, {"initial_block": is_, "layers": new_layers}
+
+
 def apply_encoder(params, state, x, *, train=False, rng=None, predict=False,
                   compute_dtype=None, layer_fn=None):
     """layer_fn: optional override(kind, idx, params, state, x, spec) for
     fused-kernel substitution at inference."""
+    from ..ops.pallas.nb1d_train import fused_train_enabled
+    if (train and layer_fn is None and fused_train_enabled()
+            and _encoder_packed_ok(x.shape)):
+        y, new_state = _apply_encoder_packed_train(
+            params, state, x, rng=rng, compute_dtype=compute_dtype)
+        if predict:
+            y = conv2d(y, params["output_conv"]["w"],
+                       params["output_conv"]["b"],
+                       compute_dtype=compute_dtype)
+        return y, new_state
     y, is_ = apply_downsampler(params["initial_block"],
                                state["initial_block"], x, train=train,
                                compute_dtype=compute_dtype)

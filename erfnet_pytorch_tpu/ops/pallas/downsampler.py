@@ -1,0 +1,301 @@
+"""Packed-layout DownsamplerBlock kernel (Pallas, custom VJP) — train path.
+
+Reference surface: ``train/erfnet.py:DownsamplerBlock`` = cat[Conv2d(k3 s2
+p1, Cin -> Cout-Cin), MaxPool2d(2,2)] -> BN -> ReLU (SURVEY.md §2a row 1).
+The XLA train path space-to-depths the input, runs the conv as a matmul,
+slot-maxes the pool, concatenates, and re-packs for the next packed stage —
+several full-map layout copies per block at batch 6.
+
+Packed-native identity: from a W-packed input (B, H, Wb, pi*Cin), one
+output "super-column" group (pi/2 output pixels = one input block) is
+
+    out = sum_{mh in 0..2, q in {-1,0}} bshift(A_mh @ K[mh,q], q) + pool
+
+with row operands A = [hshift(r1,-1), r0, r1] (r0/r1 the even/odd input
+rows) and K[mh,q] constant slot placements of the 3x3 weights into the
+(pi/2)*(Cc+Cin)-lane output layout (pool lanes zero).  The 2x2 max-pool is
+pure lane-group maxima, W-pairs first then rows — the same associativity
+as ops/packed.py:max_pool2x2_packed, and the backward splits ties 0.5/0.5
+exactly like jax.lax.max so gradients match the XLA oracle bit-for-bit on
+tied (post-ReLU zero) inputs.
+
+The caller reshapes the (B, H/2, Wb, (pi/2)*(Cc+Cin)) result to the next
+stage's W-packed layout (a free row-major regroup).  6 MXU matmuls per
+image replace the whole s2d/pool/concat/repack chain; backward accumulates
+dK/dbias in f32 across the batch grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .upsampler import _hshift, _bshift
+
+
+@functools.lru_cache(maxsize=None)
+def _down_placement(pi: int, cin: int, cc: int):
+    """One-hot S (3 mh, 2 q, 3 mw, pi u, S_out t): output column t reads
+    input column 2t + mw - 1 (block shift q=-1 when negative)."""
+    s_out = pi // 2
+    S = np.zeros((3, 2, 3, pi, s_out), np.float32)
+    for mh in range(3):
+        for mw in range(3):
+            for t in range(s_out):
+                c = 2 * t + mw - 1
+                q, u = (0, c) if c >= 0 else (1, c + pi)  # q index 1 == -1
+                S[mh, q, mw, u, t] += 1
+    return S
+
+
+def build_down_packed(w, b, pi: int):
+    """w (3,3,Cin,Cc), b (Cc,) -> (K (3,2, pi*Cin, S_out*Ct), bias_placed
+    (S_out*Ct,)) with Ct = Cc + Cin; conv lanes at offset 0 of each Ct
+    group, pool lanes zero.  Traced (differentiable) einsum + pad."""
+    cin, cc = w.shape[2], w.shape[3]
+    ct = cc + cin
+    s_out = pi // 2
+    S = jnp.asarray(_down_placement(pi, cin, cc), w.dtype)
+    K = jnp.einsum("hqmut,hmcd->hqutcd", S, w)     # (3,2,pi,S_out,Cin,Cc)
+    K = K.transpose(0, 1, 2, 4, 3, 5)              # (3,2,pi,Cin,S_out,Cc)
+    K = jnp.pad(K, [(0, 0)] * 4 + [(0, 0), (0, cin)])
+    K = K.reshape(3, 2, pi * cin, s_out * ct)
+    bias = jnp.pad(b, (0, cin)).reshape(1, ct)
+    bias = jnp.tile(bias, (s_out, 1)).reshape(s_out * ct)
+    return K, bias
+
+
+def _tie(a, b):
+    """d(max(a,b))/da with jax.lax.max tie semantics (0.5 on equality).
+    Arithmetic form (sign(0) == 0 -> 0.5): boolean masks on non-128-lane
+    slices trip a Mosaic relayout bug on v5e."""
+    return 0.5 * (jnp.sign(a.astype(jnp.float32) - b.astype(jnp.float32))
+                  + 1.0)
+
+
+def _split_rows(x, H2, Wb, C):
+    """(H, Wb, C) -> even rows r0, odd rows r1, each (H2, Wb, C)."""
+    x4 = x.reshape(H2, 2, Wb, C)
+    return x4[:, 0], x4[:, 1]
+
+
+def _pool_pieces(r0, r1, s_out, cin, C):
+    """W-pair maxima per row plane, then the row max — the reference
+    pooling order.  Returns list of (M, cin) per output column t plus the
+    intermediates needed by the backward."""
+    w0, w1, pool = [], [], []
+    for t in range(s_out):
+        a0 = r0[..., 2 * t * cin:(2 * t + 1) * cin]
+        b0 = r0[..., (2 * t + 1) * cin:(2 * t + 2) * cin]
+        a1 = r1[..., 2 * t * cin:(2 * t + 1) * cin]
+        b1 = r1[..., (2 * t + 1) * cin:(2 * t + 2) * cin]
+        m0 = jnp.maximum(a0, b0)
+        m1 = jnp.maximum(a1, b1)
+        w0.append((a0, b0, m0))
+        w1.append((a1, b1, m1))
+        pool.append(jnp.maximum(m0, m1))
+    return w0, w1, pool
+
+
+def _down_fwd_kernel(x_ref, K, bias, out_ref, *, H2, Wb, Cin, Cc):
+    C = x_ref.shape[-1]
+    pi = C // Cin
+    s_out = pi // 2
+    ct = Cc + Cin
+    x = x_ref[0]
+    r0, r1 = _split_rows(x, H2, Wb, C)
+    A = (_hshift(r1, -1), r0, r1)
+    Kc = K[:].astype(x.dtype)
+    acc = None
+    for mh in range(3):
+        af = A[mh].reshape(H2 * Wb, C)
+        for qi, q in ((0, 0), (1, -1)):
+            m = jnp.dot(af, Kc[mh, qi],
+                        preferred_element_type=jnp.float32)
+            m = _bshift(m.reshape(H2, Wb, s_out * ct), q)
+            acc = m if acc is None else acc + m
+    out_ref[0] = (acc + bias[:]).astype(out_ref.dtype)
+
+
+def _down_bwd_kernel(x_ref, g_ref, K, dx_ref, dK_ref, db_ref, *,
+                     H2, Wb, Cin, Cc):
+    i = pl.program_id(0)
+    C = x_ref.shape[-1]
+    pi = C // Cin
+    s_out = pi // 2
+    ct = Cc + Cin
+    x = x_ref[0]
+    g = g_ref[0]                                   # (H2, Wb, s_out*ct)
+    r0, r1 = _split_rows(x, H2, Wb, C)
+    A = (_hshift(r1, -1), r0, r1)
+    Kc = K[:].astype(x.dtype)
+    # accumulate-dtype sum: materializing g in f32 blew the VMEM budget
+    db = jnp.sum(g.reshape(H2 * Wb, s_out * ct), axis=0,
+                 dtype=jnp.float32).reshape(1, -1)
+
+    dKs = [[None, None] for _ in range(3)]
+    dA = [None, None, None]
+    for qi, q in ((0, 0), (1, -1)):
+        gs = (g if q == 0 else _bshift(g, -q)).reshape(H2 * Wb,
+                                                       s_out * ct)
+        for mh in range(3):
+            af = A[mh].reshape(H2 * Wb, C)
+            dKs[mh][qi] = jax.lax.dot_general(
+                af, gs, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jax.lax.dot_general(
+                gs, Kc[mh, qi], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dA[mh] = m if dA[mh] is None else dA[mh] + m
+    dK = jnp.stack([d for row in dKs for d in row]).reshape(
+        3, 2, C, s_out * ct)
+
+    dr0 = dA[1].reshape(H2, Wb, C)
+    dr1 = (dA[2].reshape(H2, Wb, C)
+           + _hshift(dA[0].reshape(H2, Wb, C), 1))
+    dx = jnp.stack([dr0, dr1], axis=1).reshape(2 * H2, Wb, C)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dK_ref[:] = dK
+        db_ref[:] = db
+
+    @pl.when(i > 0)
+    def _():
+        dK_ref[:] = dK_ref[:] + dK
+        db_ref[:] = db_ref[:] + db
+
+
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _call_fwd(x, K, bias, *, Cin, Cc, interpret):
+    B, H, Wb, C = x.shape
+    H2 = H // 2
+    co = K.shape[-1]
+    kernel = functools.partial(_down_fwd_kernel, H2=H2, Wb=Wb, Cin=Cin,
+                               Cc=Cc)
+    v = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, Wb, C), lambda b: (b, 0, 0, 0),
+                         memory_space=v),
+            pl.BlockSpec(K.shape, lambda b: (0,) * 4, memory_space=v),
+            pl.BlockSpec((co,), lambda b: (0,), memory_space=v),
+        ],
+        out_specs=pl.BlockSpec((1, H2, Wb, co), lambda b: (b, 0, 0, 0),
+                               memory_space=v),
+        out_shape=jax.ShapeDtypeStruct((B, H2, Wb, co), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * H2 * Wb * C * co,
+            bytes_accessed=(H * Wb * C + H2 * Wb * co) * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, K, bias)
+
+
+def _call_bwd(x, g, K, *, Cin, Cc, interpret):
+    B, H, Wb, C = x.shape
+    H2 = H // 2
+    co = K.shape[-1]
+    kernel = functools.partial(_down_bwd_kernel, H2=H2, Wb=Wb, Cin=Cin,
+                               Cc=Cc)
+    v = pltpu.VMEM
+    dx, dK, db = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, Wb, C), lambda b: (b, 0, 0, 0),
+                         memory_space=v),
+            pl.BlockSpec((1, H2, Wb, co), lambda b: (b, 0, 0, 0),
+                         memory_space=v),
+            pl.BlockSpec(K.shape, lambda b: (0,) * 4, memory_space=v),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, H, Wb, C), lambda b: (b, 0, 0, 0),
+                         memory_space=v),
+            pl.BlockSpec(K.shape, lambda b: (0,) * 4, memory_space=v),
+            pl.BlockSpec((1, co), lambda b: (0, 0), memory_space=v),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(K.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=18 * 2 * H2 * Wb * C * co,
+            bytes_accessed=3 * H * Wb * C * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, g, K)
+    return dx, dK, db.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _down_op(Cin: int, Cc: int, interpret: bool):
+    @jax.custom_vjp
+    def op(x, K, bias):
+        return _call_fwd(x, K, bias, Cin=Cin, Cc=Cc, interpret=interpret)
+
+    def bwd(res, g):
+        x, K = res
+        dx, dK, db = _call_bwd(x, g.astype(x.dtype), K, Cin=Cin, Cc=Cc,
+                               interpret=interpret)
+        return dx, dK.astype(K.dtype), db
+
+    op.defvjp(lambda x, K, bias: (
+        _call_fwd(x, K, bias, Cin=Cin, Cc=Cc, interpret=interpret),
+        (x, K)), bwd)
+    return op
+
+
+def down_pool_packed(x, pi: int, cin: int, cc: int):
+    """MaxPool2d(2,2) of the logical map under W-packing, placed into the
+    kernel's output lane layout (zeros over the conv lanes).  Plain jnp —
+    JAX AD supplies the pool gradients (exact oracle tie semantics), and
+    XLA fuses the maxima/pad into the kernel-output add."""
+    B, H, Wb, C = x.shape
+    s_out = pi // 2
+    # reference associativity: W pair first, then the row pair
+    mw = jnp.max(x.reshape(B, H, Wb, s_out, 2, cin), axis=4)
+    mp = jnp.max(mw.reshape(B, H // 2, 2, Wb, s_out, cin), axis=2)
+    mp = jnp.pad(mp, [(0, 0)] * 4 + [(cc, 0)])
+    return mp.reshape(B, H // 2, Wb, s_out * (cc + cin))
+
+
+def downsampler_packed(x, w_hwio, b, *, pi: int,
+                       interpret: Optional[bool] = None):
+    """Packed-in DownsamplerBlock conv+pool+concat (pre-BN).
+
+    x: (B, H, Wb, pi*Cin) W-packed; w_hwio (3,3,Cin,Cout-Cin), b likewise.
+    Returns (B, H/2, Wb, (pi/2)*Cout); the caller reshapes to the next
+    stage's (B, H/2, Wb*(pi/2)/po, po*Cout) — a free row-major regroup.
+    Differentiable in x, w, b.  The conv runs in the Pallas kernel; the
+    pool lanes are added by ``down_pool_packed`` (kernel leaves them 0 —
+    the in-kernel pool backward's lane-sliced tie masks blew Mosaic's
+    register allocator on v5e).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cin, cc = w_hwio.shape[2], w_hwio.shape[3]
+    K, bias = build_down_packed(w_hwio.astype(jnp.float32),
+                                b.astype(jnp.float32), pi)
+    conv = _down_op(cin, cc, bool(interpret))(x, K, bias)
+    return conv + down_pool_packed(x, pi, cin, cc).astype(conv.dtype)
+
+
+def down_packed_supported(x_shape, pi: int) -> bool:
+    b, h, wb, c = x_shape
+    return (c % pi == 0 and pi % 2 == 0 and pi >= 2 and h % 2 == 0
+            and h * wb * c <= 2 * 1024 * 1024 and (c // pi) * pi == c)

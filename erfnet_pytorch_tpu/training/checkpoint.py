@@ -27,9 +27,11 @@ def _to_host(tree):
 
 
 def save_checkpoint_file(path: str, *, epoch: int, arch: str, params,
-                         batch_stats, opt_state, best_acc: float):
+                         batch_stats, opt_state, best_acc: float,
+                         step: int = 0):
     payload = {
         "epoch": epoch,
+        "step": int(step),
         "arch": arch,
         "params": _to_host(params),
         "batch_stats": _to_host(batch_stats),
@@ -144,11 +146,11 @@ class CheckpointManager:
 
     def save_epoch(self, *, epoch: int, params, batch_stats, opt_state,
                    best_acc: float, is_best: bool,
-                   epochs_save: int = 0):
+                   epochs_save: int = 0, step: int = 0):
         save_checkpoint_file(self.checkpoint_path, epoch=epoch,
                              arch=self.arch, params=params,
                              batch_stats=batch_stats, opt_state=opt_state,
-                             best_acc=best_acc)
+                             best_acc=best_acc, step=step)
         save_weights(self.latest_weights_path, params, batch_stats)
         if epochs_save > 0 and epoch % epochs_save == 0:
             save_weights(os.path.join(self.savedir,

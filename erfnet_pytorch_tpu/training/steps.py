@@ -104,6 +104,9 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
 
     @jax.jit
     def step(ts: TrainState, images, labels, rng):
+        # fold the step counter in ON DEVICE: callers pass one constant base
+        # key (a host-side fold_in per step costs a full dispatch round-trip)
+        rng = jax.random.fold_in(rng, ts.step)
         images, labels = co_transform(jax.random.fold_in(rng, 0), images,
                                       labels, enc=enc, augment=augment)
         (loss, (new_stats, logits)), grads = jax.value_and_grad(

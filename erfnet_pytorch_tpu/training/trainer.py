@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.cityscapes import CityscapesDataset
@@ -139,7 +140,9 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
             params=payload["params"],
             batch_stats=payload["batch_stats"],
             opt_state=restore_opt_state(ts.opt_state, payload["opt_state"]),
-            step=ts.step)
+            # restore the step counter: the train step folds it into the
+            # RNG key, so resume replays the same augment/dropout stream
+            step=jnp.asarray(payload.get("step", 0), jnp.int32))
         ts = replicate(mesh, ts)
         start_epoch = int(payload["epoch"]) + 1
         best_acc = float(payload["best_acc"])
@@ -158,12 +161,14 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
         t_start = time.time()
         n_imgs = 0
         for bidx, (images, labels, _rels, n_valid) in enumerate(dl_train):
-            r = jax.random.fold_in(step_rng, epoch * 100000 + bidx)
+            # the step folds ts.step into the key on device — one constant
+            # base key here avoids a per-step host fold_in dispatch
             if cfg.iou_train:
-                ts, loss, preds, tgts = train_step(ts, images, labels, r)
+                ts, loss, preds, tgts = train_step(ts, images, labels,
+                                                   step_rng)
                 iou_train.add_batch(preds, tgts)
             else:
-                ts, loss = train_step(ts, images, labels, r)
+                ts, loss = train_step(ts, images, labels, step_rng)
             epoch_loss.append(loss)
             n_imgs += n_valid
             if cfg.steps_loss > 0 and bidx % cfg.steps_loss == 0:
@@ -209,7 +214,7 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
         ckpt.save_epoch(epoch=epoch, params=ts.params,
                         batch_stats=ts.batch_stats, opt_state=ts.opt_state,
                         best_acc=best_acc, is_best=is_best,
-                        epochs_save=cfg.epochs_save)
+                        epochs_save=cfg.epochs_save, step=int(ts.step))
         if is_best:
             log(f"save: {ckpt.best_path} (epoch: {epoch})")
             if cfg.iou_val:

@@ -45,20 +45,21 @@ def main():
     labels = jnp.asarray(rng.randint(0, 20, (args.batch, 512, 1024))
                          .astype(np.int32))
 
+    key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    ts, loss = step(ts, images, labels, jax.random.PRNGKey(0))
+    ts, loss = step(ts, images, labels, key)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
           f"loss={float(loss):.4f}", flush=True)
 
     # warm segment
     for _ in range(SEG):
-        ts, loss = step(ts, images, labels, jax.random.PRNGKey(0))
+        ts, loss = step(ts, images, labels, key)
     float(loss)
     t0 = time.perf_counter()
     done = 0
     while done < args.iters:
         for _ in range(SEG):
-            ts, loss = step(ts, images, labels, jax.random.PRNGKey(0))
+            ts, loss = step(ts, images, labels, key)
         float(loss)  # host sync bounds the queue
         done += SEG
     dt = (time.perf_counter() - t0) / done

@@ -195,3 +195,39 @@ def test_upsampler_packed_matches_matmul_form(pi, po, cin, cout):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=3e-4, atol=3e-4,
                                    err_msg=f"grad {name}")
+
+
+@pytest.mark.parametrize("pi,cin,cout", [(8, 16, 64), (2, 64, 128),
+                                         (32, 3, 16)])
+def test_downsampler_packed_matches_xla(pi, cin, cout):
+    from erfnet_pytorch_tpu.ops.pallas.downsampler import downsampler_packed
+    from erfnet_pytorch_tpu.ops.packed import (build_downsampler_matmul,
+                                               downsampler_conv_matmul,
+                                               max_pool2x2_packed)
+    rng = np.random.RandomState(pi)
+    B, H, W = 2, 16, 2 * pi
+    cc = cout - cin
+    # exact zeros exercise the pool-backward tie split
+    x = jnp.asarray(np.maximum(rng.randn(B, H, W, cin), 0)
+                    * (rng.rand(B, H, W, cin) > 0.3), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, cin, cc) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(cc) * 0.1, jnp.float32)
+    xp = x.reshape(B, H, W // pi, pi * cin)
+
+    def ref(xp, w, b):
+        xf = xp.reshape(B, H, W, cin)
+        y = downsampler_conv_matmul(xf, build_downsampler_matmul(w), b)
+        p = max_pool2x2_packed(xf)
+        return jnp.concatenate([y, p], -1).reshape(
+            B, H // 2, W // pi, (pi // 2) * cout)
+
+    fused = lambda xp, w, b: downsampler_packed(xp, w, b, pi=pi)
+    y_ref, vjp_r = jax.vjp(ref, xp, w, b)
+    y_f, vjp_f = jax.vjp(fused, xp, w, b)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    g = jnp.asarray(rng.randn(*y_ref.shape), jnp.float32)
+    for got, want, name in zip(vjp_f(g), vjp_r(g), "x w b".split()):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"grad {name}")

@@ -112,7 +112,7 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr = CheckpointManager(str(tmp_path), enc=False)
     mgr.save_epoch(epoch=3, params=ts.params, batch_stats=ts.batch_stats,
                    opt_state=ts.opt_state, best_acc=0.5, is_best=True,
-                   epochs_save=1)
+                   epochs_save=1, step=int(ts.step))
     assert (tmp_path / "checkpoint.pth.tar").exists()
     assert (tmp_path / "model_best.pth").exists()
     assert (tmp_path / "model.pth").exists()
@@ -130,8 +130,9 @@ def test_checkpoint_roundtrip(tmp_path):
     # opt_state restores into the typed optax structure and keeps training
     fresh = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
     restored_opt = restore_opt_state(fresh.opt_state, payload["opt_state"])
+    # step counter persists too: the train step folds it into the RNG key
     ts2 = TrainState(payload["params"], payload["batch_stats"], restored_opt,
-                     jnp.zeros((), jnp.int32))
+                     jnp.asarray(payload["step"], jnp.int32))
     ts2b, _ = step(ts2, images, labels, jax.random.PRNGKey(1))
     ts1b, _ = step(ts, images, labels, jax.random.PRNGKey(1))
     np.testing.assert_allclose(
