@@ -29,6 +29,24 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+class FlatState(NamedTuple):
+    """Train-loop carry with params raveled into ONE flat f32 vector.
+
+    Rationale (CLAUDE.md perf notes): the chip charges ~20-30 us of fixed
+    overhead per XLA op, and per-leaf Adam over ERFNet's 228 param tensors
+    is ~230+ small kernels.  Carrying the params flat makes the optimizer
+    ~4 vector ops total (grads: one concat via ravel_pytree; update: fused
+    elementwise on the 2M-element vector), while the unravel slices at step
+    start fuse into the weight preprocessing (bf16 casts / tap stacking)
+    the forward already does.  Tree<->flat conversion happens once per
+    epoch boundary (checkpoint/eval), not per step.
+    """
+    flat_params: jnp.ndarray
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
 def create_train_state(model, rng, num_classes, optimizer, encoder=None):
     if encoder is not None:
         params, batch_stats = model.init(rng, num_classes, encoder=encoder)
@@ -41,7 +59,7 @@ def create_train_state(model, rng, num_classes, optimizer, encoder=None):
 
 def make_train_step(model, optimizer, class_weights, *, enc: bool,
                     augment: bool = True, compute_dtype=None,
-                    with_pred: bool = False):
+                    with_pred: bool = False, flat: bool = False):
     """Returns step(ts, images, labels, rng) -> (ts, loss[, preds, labels]).
 
     images: (B, H, W, 3) float in [0,1]; labels: (B, H, W) int32 raw-void
@@ -51,6 +69,12 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
     not requested, the prediction head + weighted NLL run as one fused
     kernel on pre-head features (full-resolution logits never touch HBM —
     ops/pallas/head_loss.py).
+
+    flat=True: the step carries a :class:`FlatState` (params + Adam moments
+    raveled into single vectors) so the optimizer is a handful of fused
+    vector ops instead of ~230 per-leaf kernels.  Convert with the attached
+    ``step.flatten(ts) -> FlatState`` / ``step.unflatten(fts) -> TrainState``
+    (``flatten`` must be called once before the first step).
     """
     import inspect
 
@@ -102,24 +126,88 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         loss = weighted_log_softmax_nll(logits, labels, cw)
         return loss, (new_stats, logits)
 
+    if not flat:
+        @jax.jit
+        def step(ts: TrainState, images, labels, rng):
+            # fold the step counter in ON DEVICE: callers pass one constant
+            # base key (a host-side per-step fold_in costs a dispatch RTT)
+            rng = jax.random.fold_in(rng, ts.step)
+            images, labels = co_transform(jax.random.fold_in(rng, 0), images,
+                                          labels, enc=enc, augment=augment)
+            (loss, (new_stats, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(ts.params, ts.batch_stats, images,
+                                       labels, rng)
+            updates, opt_state = optimizer.update(grads, ts.opt_state,
+                                                  ts.params)
+            params = optax.apply_updates(ts.params, updates)
+            new_ts = TrainState(params, new_stats, opt_state, ts.step + 1)
+            if with_pred:
+                return new_ts, loss, fast_argmax(logits), labels
+            return new_ts, loss
+
+        return step
+
+    # ---- flat-carry mode ----
+    from jax.flatten_util import ravel_pytree
+
+    cell: Dict[str, Any] = {}
+
+    def flatten(ts: TrainState) -> FlatState:
+        flat_params, unravel = ravel_pytree(ts.params)
+        cell["unravel"], cell["n"] = unravel, int(flat_params.size)
+        pdef = jax.tree_util.tree_structure(ts.params)
+
+        def is_ptree(x):
+            return jax.tree_util.tree_structure(x) == pdef
+
+        opt_state = jax.tree_util.tree_map(
+            lambda x: ravel_pytree(x)[0] if is_ptree(x) else x,
+            ts.opt_state, is_leaf=is_ptree)
+        return FlatState(flat_params, ts.batch_stats, opt_state, ts.step)
+
+    def unflatten(fts: FlatState) -> TrainState:
+        unravel, n = cell["unravel"], cell["n"]
+
+        def is_flat(x):
+            return hasattr(x, "ndim") and getattr(x, "ndim", 0) == 1 \
+                and x.size == n
+
+        opt_state = jax.tree_util.tree_map(
+            lambda x: unravel(x) if is_flat(x) else x,
+            fts.opt_state, is_leaf=is_flat)
+        return TrainState(unravel(fts.flat_params), fts.batch_stats,
+                          opt_state, fts.step)
+
     @jax.jit
-    def step(ts: TrainState, images, labels, rng):
-        # fold the step counter in ON DEVICE: callers pass one constant base
-        # key (a host-side fold_in per step costs a full dispatch round-trip)
-        rng = jax.random.fold_in(rng, ts.step)
+    def flat_step(fts: FlatState, images, labels, rng):
+        unravel = cell["unravel"]  # trace-time constant (set by flatten())
+        rng = jax.random.fold_in(rng, fts.step)
         images, labels = co_transform(jax.random.fold_in(rng, 0), images,
                                       labels, enc=enc, augment=augment)
+        params = unravel(fts.flat_params)
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(ts.params, ts.batch_stats, images, labels,
+            loss_fn, has_aux=True)(params, fts.batch_stats, images, labels,
                                    rng)
-        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
-        params = optax.apply_updates(ts.params, updates)
-        new_ts = TrainState(params, new_stats, opt_state, ts.step + 1)
+        flat_grads = ravel_pytree(grads)[0]  # one concat (same leaf order)
+        updates, opt_state = optimizer.update(flat_grads, fts.opt_state,
+                                              fts.flat_params)
+        flat_params = optax.apply_updates(fts.flat_params, updates)
+        new_fts = FlatState(flat_params, new_stats, opt_state, fts.step + 1)
         if with_pred:
-            return new_ts, loss, fast_argmax(logits), labels
-        return new_ts, loss
+            return new_fts, loss, fast_argmax(logits), labels
+        return new_fts, loss
 
-    return step
+    class _FlatStep:
+        """Callable step carrying the tree<->flat converters."""
+
+        def __call__(self, fts, images, labels, rng):
+            return flat_step(fts, images, labels, rng)
+
+    fs = _FlatStep()
+    # attached on the instance: a class body can't close over function locals
+    fs.flatten = flatten
+    fs.unflatten = unflatten
+    return fs
 
 
 def make_eval_step(model, class_weights, *, enc: bool, compute_dtype=None):

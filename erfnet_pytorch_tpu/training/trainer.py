@@ -90,10 +90,12 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
     ts = replicate(mesh, ts)
 
     weights = get_class_weights(enc)
+    # flat-carry params/optimizer: the per-leaf Adam over 228 tensors is
+    # per-op-overhead bound on TPU; the flat step does it in ~4 vector ops
     train_step = make_train_step(model, optimizer, weights, enc=enc,
                                  augment=cfg.augment,
                                  compute_dtype=cfg.compute_dtype,
-                                 with_pred=cfg.iou_train)
+                                 with_pred=cfg.iou_train, flat=True)
     eval_step = make_eval_step(model, weights, enc=enc,
                                compute_dtype=cfg.compute_dtype)
 
@@ -150,10 +152,12 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
             f"(best_acc {best_acc:.4f})")
 
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
+    fts = train_step.flatten(ts)  # flat carry for the hot loop
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         log(f"----- TRAINING - EPOCH {epoch} -----")
         lr = optim.poly_lr(cfg.lr, epoch - 1, cfg.num_epochs)
-        ts = ts._replace(opt_state=optim.set_learning_rate(ts.opt_state, lr))
+        fts = fts._replace(opt_state=optim.set_learning_rate(fts.opt_state,
+                                                             lr))
         log(f"LEARNING RATE: {lr}")
 
         epoch_loss = []
@@ -164,11 +168,11 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
             # the step folds ts.step into the key on device — one constant
             # base key here avoids a per-step host fold_in dispatch
             if cfg.iou_train:
-                ts, loss, preds, tgts = train_step(ts, images, labels,
-                                                   step_rng)
+                fts, loss, preds, tgts = train_step(fts, images, labels,
+                                                    step_rng)
                 iou_train.add_batch(preds, tgts)
             else:
-                ts, loss = train_step(ts, images, labels, step_rng)
+                fts, loss = train_step(fts, images, labels, step_rng)
             epoch_loss.append(loss)
             n_imgs += n_valid
             if cfg.steps_loss > 0 and bidx % cfg.steps_loss == 0:
@@ -190,6 +194,7 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
                 f"{colors.ENDC}%")
 
         # ---- validation ----
+        ts = train_step.unflatten(fts)  # tree view for eval + checkpoint
         log(f"----- VALIDATING - EPOCH {epoch} -----")
         val_losses = []
         iou_val = IouEval(cfg.num_classes) if cfg.iou_val else None

@@ -13,10 +13,22 @@ import os
 _DEFAULT = os.path.expanduser("~/.cache/jax_comp")
 
 
-def enable(cache_dir: str = _DEFAULT, min_compile_secs: float = 1.0):
+def enable(cache_dir: str = _DEFAULT, min_compile_secs: float = 1.0,
+           max_entry_bytes: int = 16 << 20):
     import jax
 
     os.makedirs(cache_dir, exist_ok=True)
+    # Prune oversized entries: a cache HIT ships the serialized executable
+    # through the stdio TPU tunnel, and large binaries (measured: 40 MB
+    # train-step) hang the load for >9 min — slower than the cold compile,
+    # which only sends HLO.  Entries <= ~8 MB load fine (measured).
+    for name in os.listdir(cache_dir):
+        p = os.path.join(cache_dir, name)
+        try:
+            if os.path.isfile(p) and os.path.getsize(p) > max_entry_bytes:
+                os.unlink(p)
+        except OSError:
+            pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)

@@ -1,12 +1,15 @@
-"""One-experiment TPU train-step benchmark (batch 6, bf16, 512x1024).
+"""One-experiment TPU train-step profile (tunnel policy: single run/process).
 
-Usage: python scripts/tpu_train_step_bench.py [--no-fused] [--iters N]
-Prints ms/step and img/s.  Follows the tunnel policy: single experiment
-per process, carry-chained timing, host sync every segment (CLAUDE.md).
+Runs a few warm train steps under jax.profiler.trace and prints the
+device-plane op aggregation via scripts/parse_xplane.py.
+
+Usage: python scripts/tpu_profile_step.py [--logdir /tmp/prof] [--top 40]
 """
 
 import argparse
+import glob
 import os
+import subprocess
 import sys
 import time
 
@@ -19,20 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from erfnet_pytorch_tpu.utils.jax_cache import enable as _enable_cache
 _enable_cache()
 
-SEG = 5
-
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--logdir", default="/tmp/prof_step")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=6)
+    ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--flat", action="store_true",
                     help="flat-carry params/optimizer (FlatState)")
-    ap.add_argument("--iters", type=int, default=15)
-    ap.add_argument("--batch", type=int, default=6)
     args = ap.parse_args()
-
-    from erfnet_pytorch_tpu.ops.pallas.nb1d_train import set_fused_train
-    set_fused_train(False if args.no_fused else True)
 
     from erfnet_pytorch_tpu.models import erfnet
     from erfnet_pytorch_tpu.training import optim
@@ -53,28 +52,33 @@ def main():
                          .astype(np.float32))
     labels = jnp.asarray(rng.randint(0, 20, (args.batch, 512, 1024))
                          .astype(np.int32))
-
     key = jax.random.PRNGKey(0)
+
     t0 = time.perf_counter()
     ts, loss = step(ts, images, labels, key)
-    print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s "
           f"loss={float(loss):.4f}", flush=True)
-
-    # warm segment
-    for _ in range(SEG):
+    for _ in range(3):
         ts, loss = step(ts, images, labels, key)
     float(loss)
-    t0 = time.perf_counter()
-    done = 0
-    while done < args.iters:
-        for _ in range(SEG):
-            ts, loss = step(ts, images, labels, key)
-        float(loss)  # host sync bounds the queue
-        done += SEG
-    dt = (time.perf_counter() - t0) / done
-    print(f"fused={not args.no_fused} batch={args.batch} "
-          f"{dt * 1000:.1f} ms/step  {args.batch / dt:.2f} img/s  "
-          f"loss={float(loss):.4f}", flush=True)
+
+    jax.profiler.start_trace(args.logdir)
+    for _ in range(args.steps):
+        ts, loss = step(ts, images, labels, key)
+    float(loss)
+    jax.profiler.stop_trace()
+
+    pbs = sorted(glob.glob(os.path.join(
+        args.logdir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime)
+    if not pbs:
+        print("no xplane.pb produced", flush=True)
+        return
+    print("trace:", pbs[-1], flush=True)
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(__file__),
+                                 "parse_xplane.py"),
+                    pbs[-1], str(args.top)])
 
 
 if __name__ == "__main__":

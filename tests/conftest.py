@@ -23,6 +23,12 @@ assert jax.default_backend() == "cpu" and len(jax.devices()) == 8
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA compilation cache: model compiles dominate suite runtime
+# (~10 min cold on this 1-core host); warm reruns drop to seconds.  Keys are
+# HLO-content hashes, so code changes invalidate exactly what they change.
+from erfnet_pytorch_tpu.utils.jax_cache import enable as _enable_cache  # noqa: E402
+_enable_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 from PIL import Image  # noqa: E402

@@ -91,6 +91,60 @@ def test_train_step_decreases_loss(enc):
     assert np.isfinite(losses).all()
 
 
+def test_flat_train_step_matches_tree_step():
+    """flat=True (raveled params/moments carry) must be bit-compatible math
+    with the per-leaf tree step: same losses, same params after N steps."""
+    def run(flat):
+        tx = optim.make_adam(5e-3)
+        ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+        step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                               augment=True, flat=flat)
+        state = step.flatten(ts) if flat else ts
+        images, labels = _tiny_batch()
+        losses = []
+        for i in range(3):
+            state, loss = step(state, images, labels, jax.random.PRNGKey(7))
+            losses.append(float(loss))
+        if flat:
+            state = step.unflatten(state)
+        return losses, state
+
+    losses_t, ts_t = run(False)
+    losses_f, ts_f = run(True)
+    # The two modes are the same math but different compiled programs, and
+    # Adam's early updates are ~±lr*sign(grad): f32 fusion-order noise on
+    # near-zero grads flips an element by 2*lr.  Guaranteed-equal surface:
+    # the first two losses (empirically bit-identical) and params within a
+    # few lr (a leaf-order bug would scramble params by O(1)).
+    np.testing.assert_allclose(losses_t[:2], losses_f[:2], rtol=1e-6)
+    assert abs(losses_t[2] - losses_f[2]) < 1e-2
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=3 * 5e-3),
+        ts_t.params, ts_f.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-2),
+        ts_t.batch_stats, ts_f.batch_stats)
+    assert int(ts_f.step) == 3
+
+
+def test_flat_state_opt_roundtrip():
+    """flatten/unflatten preserve Adam moments + injected hyperparams."""
+    tx = optim.make_adam(5e-4)
+    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False, flat=True)
+    fts = step.flatten(ts)
+    fts = fts._replace(opt_state=optim.set_learning_rate(fts.opt_state,
+                                                         1e-3))
+    ts2 = step.unflatten(fts)
+    assert abs(optim.get_learning_rate(ts2.opt_state) - 1e-3) < 1e-9
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        ts.params, ts2.params)
+
+
 def test_eval_step_shapes():
     tx = optim.make_adam()
     ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
