@@ -53,11 +53,11 @@ def measure_infer(params, batch_stats, batch_size, iters=40,
     x = jax.random.uniform(jax.random.PRNGKey(1),
                            (batch_size, 512, 1024, 3))
     infer = build_fast_infer(params, batch_stats, dtype=jnp.bfloat16,
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas, preds_only=True)
 
     @jax.jit
     def step(carry):
-        _, pred = infer(x + carry * 0.0)
+        pred = infer(x + carry * 0.0)
         return (pred.sum() % 1024).astype(jnp.float32)
 
     dt = _timed_chain(step, jnp.float32(0), iters)
@@ -74,7 +74,9 @@ def measure_train(batch_size, iters=20):
     tx = optim.make_adam()
     ts0 = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
     step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
-                           augment=True, compute_dtype=jnp.bfloat16)
+                           augment=True, compute_dtype=jnp.bfloat16,
+                           flat=True)
+    ts0 = step.flatten(ts0)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch_size, 512, 1024, 3)
                          .astype(np.float32))

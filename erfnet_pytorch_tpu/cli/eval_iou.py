@@ -66,7 +66,7 @@ def main(argv=None):
     infer = build_fast_infer(
         params, batch_stats,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        use_pallas=args.pallas)
+        use_pallas=args.pallas, preds_only=True)
 
     ds = CityscapesDataset(args.datadir, args.subset, height=args.height)
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers,
@@ -75,7 +75,7 @@ def main(argv=None):
 
     start = time.time()
     for bidx, (images, labels, rels, n_valid) in enumerate(dl):
-        _, preds = infer(images)
+        preds = infer(images)
         _, labels = co_transform(None, images, labels, augment=False)
         ev.add_batch(preds[:n_valid], labels[:n_valid])
         if bidx % 25 == 0:

@@ -31,6 +31,8 @@ from .ops.packed import pack_nb1d_for_pallas
 from .ops.argmax import fast_argmax
 from .ops.convt_mm import (build_upsampler_matmul, apply_upsampler_matmul,
                            build_head_matmul, apply_head_matmul)
+from .ops.pallas.head_argmax import (head_argmax, head_argmax_supported,
+                                     depth_to_space_planes)
 
 # Map-size budget for whole-image-in-VMEM kernels (bf16 bytes of the packed
 # view); larger activations fall back to XLA.
@@ -38,6 +40,35 @@ _MAX_MAP_ELEMS = 64 * 128 * 128 * 4  # = 4 MB bf16 x2 buffers headroom
 
 # channel -> space-to-depth pack factor giving 128 lanes
 _PACK = {128: 1, 64: 2, 16: 8}
+
+# DownsamplerBlock input channels -> W-pack factor (>= 96 matmul lanes)
+_DOWN_PI = {3: 32, 16: 8, 64: 2}
+
+
+def _apply_down_packed_eval(p, s, x, dtype, interpret):
+    """DownsamplerBlock (conv || maxpool -> BN -> relu) via the packed
+    Pallas conv kernel, eval mode.  Returns None when the shape doesn't
+    fit the kernel (caller falls back to the XLA block).  Profiling: the
+    XLA stem (3->16 conv + pool + relayouts) cost ~4.5 ms/step at batch 8
+    512x1024 — the strided conv on 3 channels is layout-copy-bound."""
+    from .ops.pallas.downsampler import (downsampler_packed,
+                                         down_packed_supported)
+    from .ops.batchnorm import batch_norm
+    from .models.erfnet import BN_EPS
+
+    B, H, W, cin = x.shape
+    pi = _DOWN_PI.get(cin)
+    if pi is None or W % pi or H % 2:
+        return None
+    X = x.astype(dtype).reshape(B, H, W // pi, pi * cin)
+    if not down_packed_supported(X.shape, pi):
+        return None
+    cout = p["conv"]["w"].shape[-1] + cin
+    y = downsampler_packed(X, p["conv"]["w"], p["conv"]["b"], pi=pi,
+                           interpret=interpret)
+    y = y.reshape(B, H // 2, W // 2, cout)
+    y, bns = batch_norm(y, p["bn"], s["bn"], train=False, eps=BN_EPS)
+    return jax.nn.relu(y), {"bn": bns}
 
 
 def _prepare(layers_params, layers_state, specs, dtype):
@@ -101,6 +132,9 @@ def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
             if i in covered and i != start and _eligible(x.shape, 1):
                 return x, state  # consumed by the stack at `start`
         if kind == "down":
+            out = _apply_down_packed_eval(params, state, x, dtype, interpret)
+            if out is not None:
+                return out
             return apply_downsampler(params, state, x, train=False,
                                      compute_dtype=dtype)
         if kind == "up":
@@ -131,11 +165,18 @@ def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
 
 def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
                      use_pallas=True, interpret=False, use_stack=True,
-                     use_convt_mm=False):
+                     use_convt_mm=False, preds_only=False):
     # use_convt_mm: the parity-plane matmul formulation measured SLOWER than
     # XLA's conv_transpose on v5e (the 4 shifted input copies round-trip
     # HBM); kept for the future VMEM-resident kernel variant.
-    """Returns jitted infer(images) -> (logits, preds)."""
+    """Returns jitted infer(images) -> (logits, preds).
+
+    preds_only=True returns infer(images) -> preds and (with use_pallas)
+    runs the head + argmax as one fused kernel on the pre-head features —
+    full-resolution logits never touch HBM (the XLA argmax fusion on the
+    lane-padded (B, H, W, 20) logits measured ~15 ms/step at batch 8,
+    ~half the whole pipeline).  This is the path every eval CLI needs
+    (`outputs.max(1)[1]` — SURVEY.md §2a rows 14-16)."""
     # compiled Pallas requires a TPU; CPU gets the (slow) interpreter
     interpret = interpret or jax.default_backend() == "cpu"
     if not use_pallas:
@@ -143,7 +184,8 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
         def infer_xla(images):
             logits, _ = erfnet.apply(params, batch_stats, images,
                                      train=False, compute_dtype=dtype)
-            return logits, fast_argmax(logits)
+            preds = fast_argmax(logits)
+            return preds if preds_only else (logits, preds)
         return infer_xla
 
     enc_prep = _prepare(params["encoder"]["layers"],
@@ -179,12 +221,42 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
     dec_fn = _make_layer_fn(dec_prep, dtype, interpret, DECODER_LAYER_SPECS,
                             up_matmuls=up_matmuls)
 
+    def initial_fn(p, s, ximg):
+        out = _apply_down_packed_eval(p, s, ximg, dtype, interpret)
+        if out is not None:
+            return out
+        return apply_downsampler(p, s, ximg, train=False,
+                                 compute_dtype=dtype)
+
+    if preds_only:
+        n_classes = params["decoder"]["output_conv"]["w"].shape[-1]
+        ham_W, ham_b = build_head_matmul(
+            params["decoder"]["output_conv"]["w"],
+            params["decoder"]["output_conv"]["b"])
+
+        @jax.jit
+        def infer_preds(images):
+            y, _ = erfnet.apply(
+                params, batch_stats, images, train=False,
+                compute_dtype=dtype, encoder_layer_fn=enc_fn,
+                decoder_layer_fn=dec_fn, skip_head=True,
+                encoder_initial_fn=initial_fn)
+            B, H, Wd, K = y.shape
+            if head_argmax_supported(B * H * Wd, K, 4, n_classes):
+                idx = head_argmax(y.reshape(-1, K), ham_W, ham_b, G=4,
+                                  n_classes=n_classes, interpret=interpret)
+                return depth_to_space_planes(idx, B, H, Wd)
+            logits = apply_head_matmul(y, ham_W.astype(dtype), ham_b)
+            return fast_argmax(logits)
+
+        return infer_preds
+
     @jax.jit
     def infer(images):
         logits, _ = erfnet.apply(
             params, batch_stats, images, train=False, compute_dtype=dtype,
             encoder_layer_fn=enc_fn, decoder_layer_fn=dec_fn,
-            decoder_output_conv_fn=head_fn)
+            decoder_output_conv_fn=head_fn, encoder_initial_fn=initial_fn)
         return logits, fast_argmax(logits)
 
     return infer

@@ -338,9 +338,10 @@ def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype):
 
 
 def apply_encoder(params, state, x, *, train=False, rng=None, predict=False,
-                  compute_dtype=None, layer_fn=None):
+                  compute_dtype=None, layer_fn=None, initial_fn=None):
     """layer_fn: optional override(kind, idx, params, state, x, spec) for
-    fused-kernel substitution at inference."""
+    fused-kernel substitution at inference; initial_fn likewise overrides
+    the stem DownsamplerBlock."""
     from ..ops.pallas.nb1d_train import fused_train_enabled
     if (train and layer_fn is None and fused_train_enabled()
             and _encoder_packed_ok(x.shape)):
@@ -351,9 +352,13 @@ def apply_encoder(params, state, x, *, train=False, rng=None, predict=False,
                        params["output_conv"]["b"],
                        compute_dtype=compute_dtype)
         return y, new_state
-    y, is_ = apply_downsampler(params["initial_block"],
-                               state["initial_block"], x, train=train,
-                               compute_dtype=compute_dtype)
+    if initial_fn is not None:
+        y, is_ = initial_fn(params["initial_block"], state["initial_block"],
+                            x)
+    else:
+        y, is_ = apply_downsampler(params["initial_block"],
+                                   state["initial_block"], x, train=train,
+                                   compute_dtype=compute_dtype)
     y, new_layers = _apply_layer_seq(ENCODER_LAYER_SPECS, params["layers"],
                                      state["layers"], y, train=train,
                                      rng=rng, compute_dtype=compute_dtype,
@@ -474,7 +479,8 @@ def init(key, num_classes=20, encoder=None):
 
 def apply(params, state, x, *, train=False, rng=None, only_encode=False,
           compute_dtype=None, encoder_layer_fn=None, decoder_layer_fn=None,
-          decoder_output_conv_fn=None, skip_head=False):
+          decoder_output_conv_fn=None, skip_head=False,
+          encoder_initial_fn=None):
     """Forward pass. x: (B, H, W, 3) -> logits (B, H', W', num_classes).
 
     only_encode=True mirrors ``Net.forward(input, only_encode=True)``:
@@ -486,11 +492,13 @@ def apply(params, state, x, *, train=False, rng=None, only_encode=False,
         y, es = apply_encoder(params["encoder"], state["encoder"], x,
                               train=train, rng=rng, predict=not skip_head,
                               compute_dtype=compute_dtype,
-                              layer_fn=encoder_layer_fn)
+                              layer_fn=encoder_layer_fn,
+                              initial_fn=encoder_initial_fn)
         return y, {"encoder": es, "decoder": state["decoder"]}
     y, es = apply_encoder(params["encoder"], state["encoder"], x, train=train,
                           rng=rng, predict=False, compute_dtype=compute_dtype,
-                          layer_fn=encoder_layer_fn)
+                          layer_fn=encoder_layer_fn,
+                          initial_fn=encoder_initial_fn)
     y, ds = apply_decoder(params["decoder"], state["decoder"], y, train=train,
                           rng=rng, compute_dtype=compute_dtype,
                           layer_fn=decoder_layer_fn,

@@ -1,0 +1,130 @@
+"""Fused head-matmul + channel argmax (Pallas, inference fast path).
+
+Reference surface: the final ``outputs.max(1)[1]`` of every eval CLI
+(``eval/eval_iou.py``, ``eval_cityscapes_color.py`` / ``_server.py`` —
+SURVEY.md §2a rows 14-16) applied to the ConvTranspose2d(16, C, 2, s2)
+head logits (``eval/erfnet.py`` — §2a row 1).
+
+Why a kernel: the XLA pipeline materializes full-resolution logits
+(B, 512, 1024, 20) whose 20-wide minor dim gets lane-padded to 128 —
+profiling showed the argmax fusion alone at ~15 ms/step (batch 8) plus
+~5 ms of head-conv + relayout, half the whole pipeline.  Here the
+stride-2 head is the 1-tap parity-plane matmul of
+ops/convt_mm.py:build_head_matmul and the argmax runs on the logits
+while they are still in VMEM; full-res logits never touch HBM.
+
+Layout trick: logits are computed TRANSPOSED — z = W^T @ feats^T of
+shape (G*C, chunk) — so the per-parity-group argmax is a SUBLANE-axis
+masked reduction and the output is (G, M) int32 parity planes (no
+minor-dim lane padding anywhere).  The caller finishes with a cheap
+s32 depth-to-space: (G, M) -> (B, 2H, 2W).
+
+Tie semantics match jnp.argmax (first max wins); when feats are bf16
+the logits are rounded to bf16 before comparison so predictions are
+bit-identical to the XLA path's bf16 logits + fast_argmax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_CHUNK = 16384
+
+
+def _chunk(M: int) -> int:
+    c = min(M, _MAX_CHUNK)
+    while M % c:
+        c -= 1
+    return c
+
+
+def head_argmax_supported(M: int, K: int, G: int, n_classes: int) -> bool:
+    return (G * n_classes <= 512 and K <= 512
+            and _chunk(M) % 128 == 0)
+
+
+def _kernel(feats_ref, W, bias, gid, iota, out_ref, *, G, n_classes,
+            round_bf16):
+    # z^T: (GC, CH) f32 — lhs (K, GC) contracted on dim 0 vs feats dim 1
+    zt = jax.lax.dot_general(
+        W[:].astype(feats_ref.dtype), feats_ref[:],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias[:]
+    if round_bf16:
+        # match the XLA oracle, which argmaxes bf16-materialized logits
+        zt = zt.astype(jnp.bfloat16).astype(jnp.float32)
+    rows = []
+    for g in range(G):
+        mask = gid[:] == float(g)                      # (GC, 1)
+        zm = jnp.where(mask, zt, -jnp.inf)
+        m = jnp.max(zm, axis=0, keepdims=True)         # (1, CH)
+        idx = jnp.min(jnp.where(zm >= m, iota[:], float(n_classes)),
+                      axis=0, keepdims=True)           # (1, CH) f32
+        rows.append(idx)
+    out_ref[:] = jnp.concatenate(rows, axis=0).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _op(K: int, G: int, n_classes: int, round_bf16: bool, interpret: bool):
+    GC = G * n_classes
+    # numpy (not jnp) constants: the op closure is cached across jits, and
+    # a device constant materialized inside one trace would leak into the
+    # next as a stale tracer
+    gid = np.repeat(np.arange(G, dtype=np.float32), n_classes).reshape(GC, 1)
+    iota = np.tile(np.arange(n_classes, dtype=np.float32), G).reshape(GC, 1)
+    kernel = functools.partial(_kernel, G=G, n_classes=n_classes,
+                               round_bf16=round_bf16)
+
+    def call(feats, W, bias):
+        M = feats.shape[0]
+        CH = _chunk(M)
+        v = pltpu.VMEM
+        return pl.pallas_call(
+            kernel,
+            grid=(M // CH,),
+            in_specs=[
+                pl.BlockSpec((CH, K), lambda i: (i, 0), memory_space=v),
+                pl.BlockSpec((K, GC), lambda i: (0, 0), memory_space=v),
+                pl.BlockSpec((GC, 1), lambda i: (0, 0), memory_space=v),
+                pl.BlockSpec((GC, 1), lambda i: (0, 0), memory_space=v),
+                pl.BlockSpec((GC, 1), lambda i: (0, 0), memory_space=v),
+            ],
+            out_specs=pl.BlockSpec((G, CH), lambda i: (0, i),
+                                   memory_space=v),
+            out_shape=jax.ShapeDtypeStruct((G, M), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * K * GC + 12 * M * GC,
+                bytes_accessed=M * K * feats.dtype.itemsize + M * G * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(feats, W, bias.reshape(GC, 1), gid, iota)
+
+    return call
+
+
+def head_argmax(feats, W, bias, *, G: int, n_classes: int,
+                interpret: Optional[bool] = None):
+    """feats (M, K) x W (K, G*n_classes) + bias -> (G, M) int32 argmax
+    planes (plane g = parity (a, b), g = a*2 + b, the column-block order
+    of ops/convt_mm.py:build_head_matmul)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    round_bf16 = feats.dtype == jnp.bfloat16
+    return _op(int(feats.shape[1]), int(G), int(n_classes),
+               bool(round_bf16), bool(interpret))(
+        feats, W.astype(jnp.float32), bias.astype(jnp.float32))
+
+
+def depth_to_space_planes(idx, B: int, H: int, W: int):
+    """(4, B*H*W) parity planes -> (B, 2H, 2W) predictions."""
+    return (idx.reshape(2, 2, B, H, W).transpose(2, 3, 0, 4, 1)
+            .reshape(B, 2 * H, 2 * W))

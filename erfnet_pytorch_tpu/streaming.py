@@ -31,10 +31,10 @@ class StreamingSegmenter:
         """output: 'color' (palette RGB), 'labelId' (server remap) or
         'trainId' (raw argmax)."""
         infer = build_fast_infer(params, batch_stats, dtype=dtype,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas, preds_only=True)
         @jax.jit
         def step(images):
-            _, pred = infer(images)
+            pred = infer(images)
             if output == "color":
                 return colorize(pred)
             if output == "labelId":

@@ -1,0 +1,78 @@
+"""One-experiment TPU inference-pipeline profile (tunnel policy: 1 run/proc).
+
+Profiles the bench.py fast-infer pipeline (forward + fast_argmax + carry
+reduction) under jax.profiler.trace and prints the device-plane op
+aggregation via scripts/parse_xplane.py.
+
+Usage: python scripts/tpu_profile_infer.py [--batch 8] [--steps 5]
+"""
+
+import argparse
+import glob
+import os
+import subprocess
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from erfnet_pytorch_tpu.utils.jax_cache import enable as _enable_cache
+_enable_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logdir", default="/tmp/prof_infer")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+
+    from erfnet_pytorch_tpu.models import erfnet
+    from erfnet_pytorch_tpu.inference import build_fast_infer
+
+    print("devices:", jax.devices(), flush=True)
+    params, batch_stats = erfnet.init(jax.random.PRNGKey(0), 20)
+    infer = build_fast_infer(params, batch_stats, dtype=jnp.bfloat16,
+                             use_pallas=not args.no_pallas)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (args.batch, 512, 1024, 3))
+
+    # the bench.py carry-chained step (what the headline number measures)
+    @jax.jit
+    def step(carry):
+        _, pred = infer(x + carry * 0.0)
+        return (pred.sum() % 1024).astype(jnp.float32)
+
+    t0 = time.perf_counter()
+    carry = step(jnp.float32(0))
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+    for _ in range(3):
+        carry = step(carry)
+    float(carry)
+
+    jax.profiler.start_trace(args.logdir)
+    for _ in range(args.steps):
+        carry = step(carry)
+    float(carry)
+    jax.profiler.stop_trace()
+
+    pbs = sorted(glob.glob(os.path.join(
+        args.logdir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime)
+    if not pbs:
+        print("no xplane.pb produced", flush=True)
+        return
+    print("trace:", pbs[-1], flush=True)
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(__file__),
+                                 "parse_xplane.py"),
+                    pbs[-1], str(args.top)])
+
+
+if __name__ == "__main__":
+    main()

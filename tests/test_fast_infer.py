@@ -64,6 +64,111 @@ def test_streaming_segmenter(fake_cityscapes):
     assert set(np.unique(ids)).issubset(valid)
 
 
+def test_head_argmax_kernel_matches_oracle():
+    """Fused head+argmax kernel == matmul-head logits + jnp.argmax,
+    including first-max tie semantics."""
+    from erfnet_pytorch_tpu.ops.pallas.head_argmax import (
+        head_argmax, depth_to_space_planes)
+    M, K, C = 1024, 16, 20
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    feats = jax.random.normal(k1, (M, K), jnp.float32)
+    W = jax.random.normal(k2, (K, 4 * C), jnp.float32)
+    bias = jax.random.normal(k3, (4 * C,), jnp.float32)
+
+    z = feats @ W + bias                               # (M, 4C)
+    oracle = jnp.argmax(z.reshape(M, 4, C), axis=-1)   # (M, 4)
+    idx = head_argmax(feats, W, bias, G=4, n_classes=C, interpret=True)
+    assert idx.shape == (4, M) and idx.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(idx).T, np.asarray(oracle))
+
+    # tied logits -> lowest class index, like jnp.argmax
+    idx0 = head_argmax(jnp.zeros((M, K)), jnp.zeros((K, 4 * C)),
+                       jnp.zeros((4 * C,)), G=4, n_classes=C,
+                       interpret=True)
+    assert int(np.asarray(idx0).max()) == 0
+
+    # depth-to-space plane order: plane g = (a, b), g = a*2 + b
+    planes = jnp.arange(4, dtype=jnp.int32)[:, None] * jnp.ones(
+        (4, 8), jnp.int32)
+    out = depth_to_space_planes(planes, 1, 2, 4)
+    assert out.shape == (1, 4, 8)
+    np.testing.assert_array_equal(np.asarray(out[0, :2, :2]),
+                                  [[0, 1], [2, 3]])
+
+
+def test_head_argmax_reused_across_jits():
+    """The lru-cached op must not capture trace-local constants: first use
+    INSIDE one jit, then reuse in a different jit (the bench's b1 -> b8
+    sequence leaked a tracer here)."""
+    from erfnet_pytorch_tpu.ops.pallas.head_argmax import head_argmax
+    W = jax.random.normal(jax.random.PRNGKey(0), (16, 80), jnp.float32)
+    b = jnp.zeros((80,))
+
+    @jax.jit
+    def f1(feats):
+        return head_argmax(feats, W, b, G=4, n_classes=20, interpret=True)
+
+    @jax.jit
+    def f2(feats):
+        return head_argmax(feats, W, b, G=4, n_classes=20,
+                           interpret=True).sum()
+
+    feats = jax.random.normal(jax.random.PRNGKey(1), (256, 16), jnp.float32)
+    out1 = f1(feats)
+    out2 = f2(jax.random.normal(jax.random.PRNGKey(2), (512, 16)))
+    assert out1.shape == (4, 256) and np.isfinite(float(out2))
+
+
+def test_preds_only_fast_infer_matches_logits_path():
+    params, state = erfnet.init(jax.random.PRNGKey(0), 20)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 256, 3))
+    ref_fn = build_fast_infer(params, state, dtype=jnp.float32,
+                              use_pallas=True, interpret=True)
+    po_fn = build_fast_infer(params, state, dtype=jnp.float32,
+                             use_pallas=True, interpret=True,
+                             preds_only=True)
+    _, ref_pred = ref_fn(x)
+    pred = po_fn(x)
+    assert pred.shape == ref_pred.shape == (1, 128, 256)
+    # head runs as a matmul vs conv_transpose: float-order noise can flip
+    # near-tie pixels only
+    agree = (np.asarray(pred) == np.asarray(ref_pred)).mean()
+    assert agree > 0.999, agree
+
+    # unsupported M (not a multiple of 128) -> in-jit XLA fallback
+    x2 = jax.random.uniform(jax.random.PRNGKey(2), (1, 48, 48, 3))
+    po2 = build_fast_infer(params, state, dtype=jnp.float32,
+                           use_pallas=True, interpret=True, preds_only=True)
+    ref2 = build_fast_infer(params, state, dtype=jnp.float32,
+                            use_pallas=False, preds_only=True)
+    agree2 = (np.asarray(po2(x2)) == np.asarray(ref2(x2))).mean()
+    assert agree2 > 0.999, agree2
+
+
+def test_down_packed_eval_matches_xla_block():
+    """Packed-kernel DownsamplerBlock (eval) == XLA conv||pool block, for
+    all three channel configs (3->16 stem, 16->64, 64->128)."""
+    from erfnet_pytorch_tpu.inference import _apply_down_packed_eval
+    from erfnet_pytorch_tpu.models.erfnet import (init_downsampler,
+                                                  apply_downsampler)
+    for i, (cin, cout, h, w) in enumerate([(3, 16, 64, 256), (16, 64, 32, 128),
+                                           (64, 128, 16, 64)]):
+        p, s = init_downsampler(jax.random.PRNGKey(i), cin, cout)
+        # non-trivial running stats so eval-mode BN is actually exercised
+        s = {"bn": {"mean": jax.random.normal(jax.random.PRNGKey(i + 10),
+                                              (cout,)) * 0.1,
+                    "var": jnp.abs(jax.random.normal(
+                        jax.random.PRNGKey(i + 20), (cout,))) + 0.5}}
+        x = jax.random.normal(jax.random.PRNGKey(i + 30), (2, h, w, cin))
+        out = _apply_down_packed_eval(p, s, x, jnp.float32, True)
+        assert out is not None, (cin, cout)
+        y, _ = out
+        ref, _ = apply_downsampler(p, s, x, train=False)
+        assert y.shape == ref.shape == (2, h // 2, w // 2, cout)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_fast_argmax_matches_jnp_argmax():
     from erfnet_pytorch_tpu.inference import fast_argmax
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 9, 20))
