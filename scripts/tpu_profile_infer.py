@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--with-logits", action="store_true",
+                    help="profile the (logits, preds) path instead of the "
+                         "preds-only head+argmax fast path")
     args = ap.parse_args()
 
     from erfnet_pytorch_tpu.models import erfnet
@@ -38,14 +41,16 @@ def main():
     print("devices:", jax.devices(), flush=True)
     params, batch_stats = erfnet.init(jax.random.PRNGKey(0), 20)
     infer = build_fast_infer(params, batch_stats, dtype=jnp.bfloat16,
-                             use_pallas=not args.no_pallas)
+                             use_pallas=not args.no_pallas,
+                             preds_only=not args.with_logits)
     x = jax.random.uniform(jax.random.PRNGKey(1),
                            (args.batch, 512, 1024, 3))
 
     # the bench.py carry-chained step (what the headline number measures)
     @jax.jit
     def step(carry):
-        _, pred = infer(x + carry * 0.0)
+        out = infer(x + carry * 0.0)
+        pred = out if not args.with_logits else out[1]
         return (pred.sum() % 1024).astype(jnp.float32)
 
     t0 = time.perf_counter()
