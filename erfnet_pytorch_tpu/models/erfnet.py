@@ -393,11 +393,15 @@ def _decoder_packed_ok(shape):
             and pair_supported((b, 4 * h, w // 2, 128)))
 
 
-def _apply_decoder_packed_train(params, state, x, *, rng, compute_dtype):
+def _apply_decoder_packed_train(params, state, x, *, rng, compute_dtype,
+                                keep_packed=False):
     """Decoder train path entirely in W-packed layouts: packed upsampler
     kernels (ops/pallas/upsampler.py) feed the packed NB1d runs directly —
     no full-resolution d2s/pack layout round-trips between stages.
-    Returns (pre-head features (B, 4H, 4W_in, 16), new layer states)."""
+    Returns (pre-head features (B, 4H, 4W_in, 16), new layer states); with
+    keep_packed=True the features stay W-packed (B, 4H, W_in/2, 128) for
+    the packed fused head+loss (the (M, 16) native view has a lane-padded
+    layout that costs ~1 ms/step in relayouts)."""
     from ..ops.packed import _bn_packed, nb1d_train_packed_core_run
     from ..ops.pallas.upsampler import upsampler_packed
     layers, lstate = params["layers"], state["layers"]
@@ -428,18 +432,22 @@ def _apply_decoder_packed_train(params, state, x, *, rng, compute_dtype):
     X = run([1, 2], X, 2, 64)
     X = up(3, X, 2, 8, 8)          # (B, 4H, W/2, 128) = packed-p8 C16
     X = run([4, 5], X, 8, 16)
+    if keep_packed:
+        return X, new_layers
     B, H4, Wb, pc = X.shape
     y = X.reshape(B, H4, Wb * 8, 16)   # unpack for the head
     return y, new_layers
 
 
 def apply_decoder(params, state, x, *, train=False, rng=None,
-                  compute_dtype=None, layer_fn=None, output_conv_fn=None):
+                  compute_dtype=None, layer_fn=None, output_conv_fn=None,
+                  keep_packed_feats=False):
     from ..ops.pallas.nb1d_train import fused_train_enabled
     if (train and layer_fn is None and fused_train_enabled()
             and _decoder_packed_ok(x.shape)):
         y, new_layers = _apply_decoder_packed_train(
-            params, state, x, rng=rng, compute_dtype=compute_dtype)
+            params, state, x, rng=rng, compute_dtype=compute_dtype,
+            keep_packed=keep_packed_feats)
     else:
         y, new_layers = _apply_layer_seq(
             DECODER_LAYER_SPECS, params["layers"], state["layers"], x,
@@ -480,13 +488,15 @@ def init(key, num_classes=20, encoder=None):
 def apply(params, state, x, *, train=False, rng=None, only_encode=False,
           compute_dtype=None, encoder_layer_fn=None, decoder_layer_fn=None,
           decoder_output_conv_fn=None, skip_head=False,
-          encoder_initial_fn=None):
+          encoder_initial_fn=None, keep_packed_feats=False):
     """Forward pass. x: (B, H, W, 3) -> logits (B, H', W', num_classes).
 
     only_encode=True mirrors ``Net.forward(input, only_encode=True)``:
     encoder with its 1x1 prediction head at 1/8 resolution.
     skip_head=True returns PRE-head features (the fused head+loss train
-    kernel applies the prediction head itself — ops/pallas/head_loss.py).
+    kernel applies the prediction head itself — ops/pallas/head_loss.py);
+    with keep_packed_feats=True they stay W-packed (channel dim 128) when
+    the packed decoder path ran — callers dispatch on the channel dim.
     """
     if only_encode:
         y, es = apply_encoder(params["encoder"], state["encoder"], x,
@@ -503,5 +513,6 @@ def apply(params, state, x, *, train=False, rng=None, only_encode=False,
                           rng=rng, compute_dtype=compute_dtype,
                           layer_fn=decoder_layer_fn,
                           output_conv_fn=(lambda t: t) if skip_head
-                          else decoder_output_conv_fn)
+                          else decoder_output_conv_fn,
+                          keep_packed_feats=skip_head and keep_packed_feats)
     return y, {"encoder": es, "decoder": ds}

@@ -97,6 +97,20 @@ def build_head_matmul(w_hwio, b, dtype=jnp.float32):
     return W.astype(dtype), bias.astype(jnp.float32)
 
 
+def expand_head_matmul_packed(W, bias, p: int):
+    """Head matmul (K, GC) -> W-packed-lane form (p*K, p*GC).
+
+    A W-packed feature row carries p pixels (slot-major lanes j*K..j*K+K);
+    the block-diagonal kron(I_p, W) maps slot j's features to output
+    column block j (groups ordered (j, parity) — the label order of
+    ops/pallas/head_loss.py:pack_labels_packed).  Pure jnp, so autodiff
+    folds the p diagonal blocks' gradients back onto the original W."""
+    K, GC = W.shape
+    eye = jnp.eye(p, dtype=W.dtype)
+    Wp = jnp.einsum("ij,kl->ikjl", eye, W).reshape(p * K, p * GC)
+    return Wp, jnp.tile(bias, p)
+
+
 def apply_head_matmul(x, W, bias):
     """x: (B, H, W, Cin) -> (B, 2H, 2W, Cout) logits.
 

@@ -40,18 +40,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _MAX_CHUNK = 16384
+_CHUNK_VMEM_BUDGET = 60 * 1024 * 1024  # ~6 live (CH, GC) f32 buffers
 
 
-def _chunk(M: int) -> int:
-    c = min(M, _MAX_CHUNK)
+def _chunk(M: int, GC: int = 80) -> int:
+    budget = max(8, _CHUNK_VMEM_BUDGET // (6 * 4 * GC))
+    c = min(M, _MAX_CHUNK, budget)
     while M % c:
         c -= 1
     return c
 
 
 def head_loss_supported(M: int, K: int, G: int, n_classes: int) -> bool:
-    return (G * n_classes <= 512 and K <= 512 and M % 8 == 0
-            and _chunk(M) % 8 == 0)
+    return (G * n_classes <= 768 and K <= 512 and M % 8 == 0
+            and _chunk(M, G * n_classes) % 8 == 0)
 
 
 def _consts(G: int, n_classes: int, class_weights):
@@ -162,7 +164,7 @@ def make_head_loss(class_weights, *, n_classes: int, G: int,
 
     def fwd_call(feats, W, bias, labels):
         M, K = feats.shape
-        CH = _chunk(M)
+        CH = _chunk(M, GC)
         acc = pl.BlockSpec((1, 1), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
         num, den = pl.pallas_call(
@@ -184,7 +186,7 @@ def make_head_loss(class_weights, *, n_classes: int, G: int,
 
     def bwd_call(feats, W, bias, labels, gnum):
         M, K = feats.shape
-        CH = _chunk(M)
+        CH = _chunk(M, GC)
         v = pltpu.VMEM
         dfeats, dW, db = pl.pallas_call(
             _bwd_kernel,
@@ -239,3 +241,17 @@ def pack_labels_2x2(labels):
     H, W = H2 // 2, W2 // 2
     return (labels.reshape(B, H, 2, W, 2).transpose(0, 1, 3, 2, 4)
             .reshape(B * H * W, 4))
+
+
+def pack_labels_packed(labels, p: int):
+    """Full-res int labels (B, 2H, 2W) -> (B*H*(W//p), 4p) matching the
+    W-packed pre-head feature rows (B, H, W//p, p*K): the feature row for
+    packed block wb covers pixels (2h+a, 2*(p*wb+j)+b); label column
+    g = j*4 + a*2 + b matches ops/convt_mm.py:expand_head_matmul_packed's
+    output-group order."""
+    B, H2, W2 = labels.shape
+    H, W = H2 // 2, W2 // 2
+    Wb = W // p
+    x = labels.reshape(B, H, 2, Wb, p, 2)       # [B, h, a, wb, j, b]
+    x = x.transpose(0, 1, 3, 4, 2, 5)            # [B, h, wb, j, a, b]
+    return x.reshape(B * H * Wb, 4 * p)

@@ -87,7 +87,10 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         head_op = make_head_loss(cw, n_classes=ncls, G=1 if enc else 4)
 
     def fused_head_loss(params, feats, labels):
-        from ..ops.pallas.head_loss import pack_labels_2x2
+        from ..ops.pallas.head_loss import (pack_labels_2x2,
+                                            pack_labels_packed,
+                                            head_loss_supported,
+                                            make_head_loss)
         K = feats.shape[-1]
         if enc:
             w = params["encoder"]["output_conv"]
@@ -95,9 +98,25 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
                                w["b"].astype(jnp.float32),
                                labels.reshape(-1, 1))
         else:
-            from ..ops.convt_mm import build_head_matmul
+            from ..ops.convt_mm import (build_head_matmul,
+                                        expand_head_matmul_packed)
             w = params["decoder"]["output_conv"]
             Wm, bm = build_head_matmul(w["w"], w["b"])
+            if K == 128:
+                # W-packed decoder feats (B, H, W/8, 8*16): run the head
+                # +loss in the packed 128-lane layout — the native (M, 16)
+                # view is lane-padded 8x and cost ~1 ms/step in relayouts
+                B, H4, Wb, _ = feats.shape
+                p = K // 16
+                Mp = B * H4 * Wb
+                if head_loss_supported(Mp, K, 4 * p, ncls):
+                    op = make_head_loss(cw, n_classes=ncls, G=4 * p)
+                    Wp, bp = expand_head_matmul_packed(Wm, bm, p)
+                    num, den = op(feats.reshape(Mp, K), Wp, bp,
+                                  pack_labels_packed(labels, p))
+                    return num / jnp.maximum(den, 1e-12)
+                feats = feats.reshape(B, H4, Wb * p, 16)
+                K = 16
             num, den = head_op(feats.reshape(-1, K), Wm, bm,
                                pack_labels_2x2(labels))
         return num / jnp.maximum(den, 1e-12)
@@ -117,7 +136,8 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
             feats, new_stats = model.apply(
                 params, batch_stats, images, train=True,
                 rng=jax.random.fold_in(rng, 1), only_encode=enc,
-                compute_dtype=compute_dtype, skip_head=True)
+                compute_dtype=compute_dtype, skip_head=True,
+                keep_packed_feats=not enc)
             return fused_head_loss(params, feats, labels), (new_stats, None)
         logits, new_stats = model.apply(
             params, batch_stats, images, train=True,

@@ -231,3 +231,43 @@ def test_downsampler_packed_matches_xla(pi, cin, cout):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=3e-4, atol=3e-4,
                                    err_msg=f"grad {name}")
+
+
+def test_head_loss_packed_matches_native():
+    """G=32 packed-lane head+loss (feats (M', 128), kron(I_8, W) weights,
+    pack_labels_packed) == the G=4 native form — values AND grads."""
+    from erfnet_pytorch_tpu.ops.pallas.head_loss import (
+        make_head_loss, pack_labels_2x2, pack_labels_packed)
+    from erfnet_pytorch_tpu.ops.convt_mm import expand_head_matmul_packed
+
+    B, H, W, p, ncls = 2, 4, 16, 8, 20
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, H, W, 16), jnp.float32)
+    W4 = jnp.asarray(rng.randn(16, 4 * ncls) * 0.2, jnp.float32)
+    b4 = jnp.asarray(rng.randn(4 * ncls) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.randint(0, ncls, (B, 2 * H, 2 * W)), jnp.int32)
+    cw = jnp.asarray([1.0 + 0.1 * i for i in range(ncls)])
+    cw = cw.at[ncls - 1].set(0.0)  # void-masked class
+
+    op_n = make_head_loss(cw, n_classes=ncls, G=4, interpret=True)
+    op_p = make_head_loss(cw, n_classes=ncls, G=4 * p, interpret=True)
+
+    def loss_native(feats, W4, b4):
+        num, den = op_n(feats.reshape(-1, 16), W4, b4,
+                        pack_labels_2x2(labels))
+        return num / den
+
+    def loss_packed(feats, W4, b4):
+        Wp, bp = expand_head_matmul_packed(W4, b4, p)
+        num, den = op_p(feats.reshape(B, H, W // p, p * 16)
+                        .reshape(-1, p * 16), Wp, bp,
+                        pack_labels_packed(labels, p))
+        return num / den
+
+    ln, gn = jax.value_and_grad(loss_native, argnums=(0, 1, 2))(feats, W4, b4)
+    lp, gp = jax.value_and_grad(loss_packed, argnums=(0, 1, 2))(feats, W4, b4)
+    np.testing.assert_allclose(float(lp), float(ln), rtol=1e-5)
+    for a, b, name in zip(gp, gn, "feats W bias".split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad {name}")
