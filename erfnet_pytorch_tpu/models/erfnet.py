@@ -97,24 +97,27 @@ def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
         return nb1d_train_packed(params, state, x, p=p, dilated=dilated,
                                  dropprob=dropprob, train=train, rng=rng,
                                  compute_dtype=compute_dtype, bn_eps=BN_EPS)
-    from ..ops.pallas.nb1d_train import (fused_pair, fused_train_enabled,
+    from ..ops.pallas.nb1d_train import (fused_pair, fused_pair_affine,
+                                         fused_train_enabled,
                                          pair_supported)
     if (train and c % 128 == 0 and fused_train_enabled()
             and pair_supported(x.shape)):
         # fused conv-pair Pallas kernels with custom VJP (one fwd + one bwd
         # dispatch per pair; the step is per-op-overhead bound on this chip)
+        from ..ops.batchnorm import batch_norm_coeffs
         xc = x.astype(compute_dtype) if compute_dtype else x
         y = fused_pair(xc, params["conv3x1_1"]["w"][:, 0],
                        params["conv3x1_1"]["b"],
                        params["conv1x3_1"]["w"][0],
                        params["conv1x3_1"]["b"], sh=1, sw=1)
-        y, bn1s = batch_norm(y, params["bn1"], state["bn1"], train=train,
-                             eps=BN_EPS)
-        y = fused_pair(y, params["conv3x1_2"]["w"][:, 0],
-                       params["conv3x1_2"]["b"],
-                       params["conv1x3_2"]["w"][0],
-                       params["conv1x3_2"]["b"], sh=dilated, sw=dilated,
-                       lead_relu=True)
+        # BN1 stats in XLA; affine + relu fold into the next pair kernel
+        (a1, b1), bn1s = batch_norm_coeffs(y, params["bn1"], state["bn1"],
+                                           train=train, eps=BN_EPS)
+        y = fused_pair_affine(y, a1, b1, params["conv3x1_2"]["w"][:, 0],
+                              params["conv3x1_2"]["b"],
+                              params["conv1x3_2"]["w"][0],
+                              params["conv1x3_2"]["b"], sh=dilated,
+                              sw=dilated)
     else:
         # factorized convs as shifted MXU matmuls (conv_3tap_mm): same math
         # as lax convs with SAME padding, ~9x faster fwd+bwd on TPU

@@ -27,8 +27,11 @@ def init_batch_norm(c, dtype=jnp.float32):
     return params, state
 
 
-def batch_norm(x, params, state, *, train, eps=1e-3, momentum=0.1):
-    """Returns (y, new_state). x: (B, H, W, C)."""
+def batch_norm_coeffs(x, params, state, *, train, eps=1e-3, momentum=0.1):
+    """The affine form of batch_norm WITHOUT applying it: returns
+    ((a, b) f32 (C,), new_state) with y == x*a + b.  Lets a following
+    fused kernel apply the affine in VMEM (the full-map multiply-add and
+    its backward otherwise round-trip HBM per block)."""
     scale = params["scale"].astype(jnp.float32)
     bias = params["bias"].astype(jnp.float32)
     if train:
@@ -48,9 +51,14 @@ def batch_norm(x, params, state, *, train, eps=1e-3, momentum=0.1):
         var = state["var"].astype(jnp.float32)
         new_state = state
     inv = scale * jnp.reciprocal(jnp.sqrt(var + eps))
-    a = inv.astype(x.dtype)
-    b = (bias - mean * inv).astype(x.dtype)
-    return x * a + b, new_state
+    return (inv, bias - mean * inv), new_state
+
+
+def batch_norm(x, params, state, *, train, eps=1e-3, momentum=0.1):
+    """Returns (y, new_state). x: (B, H, W, C)."""
+    (a, b), new_state = batch_norm_coeffs(x, params, state, train=train,
+                                          eps=eps, momentum=momentum)
+    return x * a.astype(x.dtype) + b.astype(x.dtype), new_state
 
 
 def fold_batch_norm(w, b, bn_params, bn_state, *, eps=1e-3):

@@ -245,6 +245,16 @@ def _bn_packed(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
     """BatchNorm over the TRUE channels of a packed (B, H, Wb, pC) tensor:
     stats aggregate across the p position slots (exactly the unpacked
     batch stats); affine applied tiled."""
+    (a, b), new_state = _bn_packed_coeffs(Xp, bn_params, bn_state, p=p,
+                                          train=train, eps=eps,
+                                          momentum=momentum)
+    return Xp * a.astype(Xp.dtype) + b.astype(Xp.dtype), new_state
+
+
+def _bn_packed_coeffs(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
+                      momentum=0.1):
+    """_bn_packed's affine WITHOUT applying: ((a, b) f32 (pC,), new_state)
+    for folding into a following fused kernel's lead stage."""
     C = bn_params["scale"].shape[0]
     scale = bn_params["scale"].astype(jnp.float32)
     bias = bn_params["bias"].astype(jnp.float32)
@@ -265,9 +275,7 @@ def _bn_packed(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
         var = bn_state["var"].astype(jnp.float32)
         new_state = bn_state
     inv = scale * jax.lax.rsqrt(var + eps)
-    a = jnp.tile(inv, p).astype(Xp.dtype)
-    b = jnp.tile(bias - mean * inv, p).astype(Xp.dtype)
-    return Xp * a + b, new_state
+    return (jnp.tile(inv, p), jnp.tile(bias - mean * inv, p)), new_state
 
 
 def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
@@ -277,9 +285,9 @@ def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
     When the fused train kernels are enabled (TPU default) each conv pair
     runs as ONE Pallas forward + ONE custom-VJP backward kernel — the XLA
     tap-by-tap form below is the CPU path and the numerics oracle."""
-    from .pallas.nb1d_train import (fused_pair, fused_train_enabled,
-                                    pair_supported, stack_taps_h,
-                                    stack_taps_w)
+    from .pallas.nb1d_train import (fused_pair, fused_pair_affine,
+                                    fused_train_enabled, pair_supported,
+                                    stack_taps_h, stack_taps_w)
 
     def w3(name):
         w = params[name]["w"]
@@ -291,12 +299,14 @@ def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
         t = fused_pair(X, stack_taps_h(w3("conv3x1_1"), p),
                        tile("conv3x1_1"), ww2, tile("conv1x3_1"),
                        sh=1, sw=s2)
-        t, bn1s = _bn_packed(t, params["bn1"], state["bn1"], p=p,
-                             train=train, eps=bn_eps)
+        # BN1 stays a tiny XLA reduction; its affine + relu fold into the
+        # second pair kernel's lead stage (full map never re-materialized)
+        (a1, b1), bn1s = _bn_packed_coeffs(t, params["bn1"], state["bn1"],
+                                           p=p, train=train, eps=bn_eps)
         ww4, s4 = stack_taps_w(w3("conv1x3_2"), p, dilated)
-        t = fused_pair(t, stack_taps_h(w3("conv3x1_2"), p),
-                       tile("conv3x1_2"), ww4, tile("conv1x3_2"),
-                       sh=dilated, sw=s4, lead_relu=True)
+        t = fused_pair_affine(t, a1, b1, stack_taps_h(w3("conv3x1_2"), p),
+                              tile("conv3x1_2"), ww4, tile("conv1x3_2"),
+                              sh=dilated, sw=s4)
         t, bn2s = _bn_packed(t, params["bn2"], state["bn2"], p=p,
                              train=train, eps=bn_eps)
         return _nb1d_epilogue(params, X, t, bn1s, bn2s, p=p, C=C,

@@ -188,11 +188,17 @@ def _conv3_w(x3d, w3, s: int, trans: bool = False):
     return acc
 
 
-def _pair_math(x, wh, bh, ww, bw, *, sh, sw, lead_relu):
+def _pair_math(x, wh, bh, ww, bw, *, sh, sw, lead_relu, a=None, b=None):
     """Forward pair on one (H, Wb, C) image; returns (t1 (M,C) act-dtype,
-    z (H, Wb, C) f32)."""
+    z (H, Wb, C) f32).  With a/b (act-dtype (C,)) the lead stage is the
+    BN1 affine + relu: t0 = relu(x*a + b)."""
     H, Wb, C = x.shape
-    t0 = jax.nn.relu(x) if lead_relu else x
+    if a is not None:
+        t0 = jax.nn.relu(x * a + b)
+    elif lead_relu:
+        t0 = jax.nn.relu(x)
+    else:
+        t0 = x
     z1 = _conv3_h(t0.reshape(H * Wb, C), wh, sh * Wb) + bh
     t1 = jax.nn.relu(z1).astype(x.dtype)
     z = _conv3_w(t1.reshape(H, Wb, C), ww, sw) + bw
@@ -211,6 +217,18 @@ def pair_reference(x, wh, bh, ww, bw, *, sh, sw, lead_relu=False):
     return jax.vmap(one)(x)
 
 
+def pair_affine_reference(x, a, b, wh, bh, ww, bw, *, sh, sw):
+    """Pure-jnp oracle for fused_pair_affine."""
+    def one(img):
+        _, z = _pair_math(img, wh.astype(img.dtype),
+                          bh.astype(jnp.float32), ww.astype(img.dtype),
+                          bw.astype(jnp.float32), sh=sh, sw=sw,
+                          lead_relu=False, a=a.astype(img.dtype),
+                          b=b.astype(img.dtype))
+        return z.astype(img.dtype)
+    return jax.vmap(one)(x)
+
+
 # ---------------------------------------------------------------------------
 # Kernels.
 # ---------------------------------------------------------------------------
@@ -223,23 +241,16 @@ def _fwd_kernel(x_ref, wh, bh, ww, bw, z_ref, *, sh, sw, lead_relu):
     z_ref[0] = z.astype(z_ref.dtype)
 
 
-def _bwd_kernel(x_ref, g_ref, wh, bh, ww, dx_ref, dwh_ref, dbh_ref,
-                dww_ref, dbw_ref, *, sh, sw, lead_relu):
-    b = pl.program_id(0)
-    x = x_ref[0]                                    # (H, Wb, C)
-    g = g_ref[0]
-    H, Wb, C = x.shape
+def _pair_bwd_core(t0, g, whc, wwc, bh_f32, *, sh, sw):
+    """Shared pair backward on one image given the recomputed lead
+    activation t0 (H, Wb, C).  Returns (dt0 (M, C) f32, dwh, dbh, dww,
+    dbw).  ReLU masks compare in f32 — Mosaic/v5e cannot cmpf packed-bf16
+    vectors."""
+    H, Wb, C = g.shape
     M = H * Wb
-    whc = wh[:].astype(x.dtype)
-    wwc = ww[:].astype(x.dtype)
-
-    # recompute intra-pair activations (ReLU masks compared in f32 —
-    # Mosaic/v5e cannot cmpf packed-bf16 vectors)
-    t0 = jax.nn.relu(x) if lead_relu else x
     t0f = t0.reshape(M, C)
-    z1 = _conv3_h(t0f, whc, sh * Wb) + bh[:].astype(jnp.float32)  # f32
-    t1f = jax.nn.relu(z1).astype(x.dtype)
-    t1 = t1f.reshape(H, Wb, C)
+    z1 = _conv3_h(t0f, whc, sh * Wb) + bh_f32       # f32 recompute
+    t1 = jax.nn.relu(z1).astype(t0.dtype).reshape(H, Wb, C)
 
     # W-conv grads: dww[k] = bshift(t1, q_k)^T @ g; dbw = sum g
     gf = g.reshape(M, C)
@@ -261,7 +272,7 @@ def _bwd_kernel(x_ref, g_ref, wh, bh, ww, dx_ref, dwh_ref, dbh_ref,
     dz1 = jnp.where(z1.reshape(H, Wb, C) > 0, dt1, 0.0)
     dz1f = dz1.reshape(M, C)
     dbh = jnp.sum(dz1f, axis=0).reshape(1, C)
-    dz1c = dz1f.astype(x.dtype)
+    dz1c = dz1f.astype(t0.dtype)
 
     # H-conv grads: dwh[k] = rshift(t0f, q_k)^T @ dz1
     dwh = []
@@ -277,23 +288,78 @@ def _bwd_kernel(x_ref, g_ref, wh, bh, ww, dx_ref, dwh_ref, dbh_ref,
     dwh = jnp.stack(dwh)
 
     dt0 = _conv3_h(dz1c, whc, sh * Wb, trans=True)  # f32 (M, C)
+    return dt0, dwh, dbh, dww, dbw
+
+
+def _acc(ref, val, first):
+    @pl.when(first)
+    def _():
+        ref[:] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[:] = ref[:] + val
+
+
+def _bwd_kernel(x_ref, g_ref, wh, bh, ww, dx_ref, dwh_ref, dbh_ref,
+                dww_ref, dbw_ref, *, sh, sw, lead_relu):
+    b = pl.program_id(0)
+    x = x_ref[0]                                    # (H, Wb, C)
+    g = g_ref[0]
+    H, Wb, C = x.shape
+    M = H * Wb
+    whc = wh[:].astype(x.dtype)
+    wwc = ww[:].astype(x.dtype)
+    t0 = jax.nn.relu(x) if lead_relu else x
+    dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
+        t0, g, whc, wwc, bh[:].astype(jnp.float32), sh=sh, sw=sw)
     if lead_relu:
         dt0 = jnp.where(x.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
     dx_ref[0] = dt0.reshape(H, Wb, C).astype(dx_ref.dtype)
+    first = b == 0
+    _acc(dwh_ref, dwh, first)
+    _acc(dbh_ref, dbh, first)
+    _acc(dww_ref, dww, first)
+    _acc(dbw_ref, dbw, first)
 
-    @pl.when(b == 0)
-    def _():
-        dwh_ref[:] = dwh
-        dbh_ref[:] = dbh
-        dww_ref[:] = dww
-        dbw_ref[:] = dbw
 
-    @pl.when(b > 0)
-    def _():
-        dwh_ref[:] = dwh_ref[:] + dwh
-        dbh_ref[:] = dbh_ref[:] + dbh
-        dww_ref[:] = dww_ref[:] + dww
-        dbw_ref[:] = dbw_ref[:] + dbw
+def _fwd_kernel_affine(x_ref, av, bv, wh, bh, ww, bw, z_ref, *, sh, sw):
+    x = x_ref[0]
+    _, z = _pair_math(x, wh[:].astype(x.dtype), bh[:].astype(jnp.float32),
+                      ww[:].astype(x.dtype), bw[:].astype(jnp.float32),
+                      sh=sh, sw=sw, lead_relu=False,
+                      a=av[:].astype(x.dtype), b=bv[:].astype(x.dtype))
+    z_ref[0] = z.astype(z_ref.dtype)
+
+
+def _bwd_kernel_affine(x_ref, g_ref, av, bv, wh, bh, ww, dx_ref, da_ref,
+                       db_ref, dwh_ref, dbh_ref, dww_ref, dbw_ref, *,
+                       sh, sw):
+    b = pl.program_id(0)
+    x = x_ref[0]
+    g = g_ref[0]
+    H, Wb, C = x.shape
+    M = H * Wb
+    ac = av[:].astype(x.dtype)
+    bc = bv[:].astype(x.dtype)
+    pre = x * ac + bc                               # BN1 affine (act dtype)
+    t0 = jax.nn.relu(pre)
+    dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
+        t0, g, wh[:].astype(x.dtype), ww[:].astype(x.dtype),
+        bh[:].astype(jnp.float32), sh=sh, sw=sw)
+    dpre = jnp.where(pre.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
+    da = jnp.sum(dpre * x.reshape(M, C).astype(jnp.float32),
+                 axis=0).reshape(1, C)
+    db = jnp.sum(dpre, axis=0).reshape(1, C)
+    dx = dpre * av[:].reshape(1, C)
+    dx_ref[0] = dx.reshape(H, Wb, C).astype(dx_ref.dtype)
+    first = b == 0
+    _acc(da_ref, da, first)
+    _acc(db_ref, db, first)
+    _acc(dwh_ref, dwh, first)
+    _acc(dbh_ref, dbh, first)
+    _acc(dww_ref, dww, first)
+    _acc(dbw_ref, dbw, first)
 
 
 def _map_spec(H, Wb, C):
@@ -404,3 +470,99 @@ def fused_pair(x, wh, bh, ww, bw, *, sh: int, sw: int,
     dbw = bw.astype(jnp.float32)
     return _pair_op(int(sh), int(sw), bool(lead_relu), bool(interpret))(
         x, wh, bh.astype(jnp.float32), ww, dbw)
+
+
+def _fwd_call_affine(x, av, bv, wh, bh, ww, bw, *, sh, sw, interpret):
+    B, H, Wb, C = x.shape
+    kernel = functools.partial(_fwd_kernel_affine, sh=sh, sw=sw)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[_map_spec(H, Wb, C), _bspec(C), _bspec(C), _wspec(C),
+                  _bspec(C), _wspec(C), _bspec(C)],
+        out_specs=_map_spec(H, Wb, C),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * H * Wb * C * C,
+            bytes_accessed=2 * H * Wb * C * x.dtype.itemsize
+            + 6 * C * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, av, bv, wh, bh, ww, bw)
+
+
+def _bwd_call_affine(x, g, av, bv, wh, bh, ww, *, sh, sw, interpret):
+    B, H, Wb, C = x.shape
+    kernel = functools.partial(_bwd_kernel_affine, sh=sh, sw=sw)
+    acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C), _bspec(C),
+                  _bspec(C), _wspec(C), _bspec(C), _wspec(C)],
+        out_specs=(_map_spec(H, Wb, C), acc_b, acc_b, acc_w, acc_b, acc_w,
+                   acc_b),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),        # dx
+            jax.ShapeDtypeStruct((1, C), jnp.float32),     # da
+            jax.ShapeDtypeStruct((1, C), jnp.float32),     # db
+            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dwh
+            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbh
+            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dww
+            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbw
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * 2 * H * Wb * C * C,
+            bytes_accessed=3 * H * Wb * C * x.dtype.itemsize
+            + 12 * C * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, g, av, bv, wh, bh, ww)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_affine_op(sh: int, sw: int, interpret: bool):
+    @jax.custom_vjp
+    def op(x, av, bv, wh, bh, ww, bw):
+        return _fwd_call_affine(x, av, bv, wh, bh, ww, bw, sh=sh, sw=sw,
+                                interpret=interpret)
+
+    def fwd(x, av, bv, wh, bh, ww, bw):
+        z = _fwd_call_affine(x, av, bv, wh, bh, ww, bw, sh=sh, sw=sw,
+                             interpret=interpret)
+        return z, (x, av, bv, wh, bh, ww)
+
+    def bwd(res, g):
+        x, av, bv, wh, bh, ww = res
+        dx, da, db, dwh, dbh, dww, dbw = _bwd_call_affine(
+            x, g.astype(x.dtype), av, bv, wh, bh, ww, sh=sh, sw=sw,
+            interpret=interpret)
+        return (dx, da.reshape(-1).astype(av.dtype),
+                db.reshape(-1).astype(bv.dtype), dwh.astype(wh.dtype),
+                dbh.reshape(-1).astype(bh.dtype), dww.astype(ww.dtype),
+                dbw.reshape(-1))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_pair_affine(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
+                      interpret: Optional[bool] = None):
+    """fused_pair with the BN1 affine folded in as the lead stage:
+
+        z = conv_w( relu( conv_h( relu(x*a + b) ) + bh ) ) + bw
+
+    a/b are the (C,) BatchNorm scale/shift (ops/batchnorm.py:
+    batch_norm_coeffs) — the full-map ``x*a + b`` never touches HBM, and
+    the custom VJP emits da/db so JAX backprops them through the batch
+    statistics (the cross-batch reductions stay in XLA).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _pair_affine_op(int(sh), int(sw), bool(interpret))(
+        x, a.astype(jnp.float32), b.astype(jnp.float32), wh,
+        bh.astype(jnp.float32), ww, bw.astype(jnp.float32))

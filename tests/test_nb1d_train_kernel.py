@@ -271,3 +271,27 @@ def test_head_loss_packed_matches_native():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"grad {name}")
+
+
+@pytest.mark.parametrize("sh,sw", [(1, 1), (16, 8)])
+def test_fused_pair_affine_value_and_grads(sh, sw):
+    """fused_pair_affine (BN1 affine+relu folded into the lead stage) ==
+    the jnp oracle for values and all seven gradients."""
+    from erfnet_pytorch_tpu.ops.pallas.nb1d_train import (
+        fused_pair_affine, pair_affine_reference)
+    x, wh, bh, ww, bw = _rand_pair(jax.random.PRNGKey(sh + 31 * sw), 128)
+    ka, kb = jax.random.split(jax.random.PRNGKey(5))
+    a = jax.random.normal(ka, (128,)) * 0.3 + 1.0
+    b = jax.random.normal(kb, (128,)) * 0.2
+    f = lambda *args: fused_pair_affine(*args, sh=sh, sw=sw)
+    r = lambda *args: pair_affine_reference(*args, sh=sh, sw=sw)
+    z, vjp_f = jax.vjp(f, x, a, b, wh, bh, ww, bw)
+    z_ref, vjp_r = jax.vjp(r, x, a, b, wh, bh, ww, bw)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.random.normal(jax.random.PRNGKey(9), z.shape)
+    for got, ref, name in zip(vjp_f(g), vjp_r(g),
+                              "x a b wh bh ww bw".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name} (sh={sh} sw={sw})")
