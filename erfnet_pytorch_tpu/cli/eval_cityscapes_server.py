@@ -37,8 +37,12 @@ def build_parser():
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
-    p.add_argument("--pallas", action="store_true",
-                   help="fused Pallas kernels for eligible blocks")
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("--pallas", dest="pallas", action="store_true",
+                   default=None,
+                   help="fused Pallas kernels for eligible blocks "
+                        "(default: auto — on for TPU, off for CPU)")
+    g.add_argument("--no-pallas", dest="pallas", action="store_false")
     return p
 
 
@@ -47,7 +51,6 @@ def main(argv=None):
     if getattr(args, "cpu", False):
         # must run before any backend initialization; the axon TPU
         # plugin otherwise overrides JAX_PLATFORMS=cpu
-        import jax
         jax.config.update("jax_platforms", "cpu")
     from ..utils.jax_cache import enable as _enable_cache
     _enable_cache()
@@ -56,10 +59,12 @@ def main(argv=None):
     params, batch_stats = load_any_weights(weights_path)
     print("Model and weights LOADED successfully")
 
+    from ..inference import resolve_use_pallas
     from ..streaming import StreamingSegmenter
     seg = StreamingSegmenter(params, batch_stats,
                              dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                             use_pallas=args.pallas, output="labelId")
+                             use_pallas=resolve_use_pallas(args.pallas),
+                             output="labelId")
     ds = CityscapesDataset(args.datadir, args.subset, height=args.height)
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers)
     for ids, rels in seg.run(dl):

@@ -33,8 +33,12 @@ def build_parser():
     p.add_argument("--state", help="optional weights (default: random init)")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
-    p.add_argument("--pallas", action="store_true",
-                   help="fused Pallas kernels for eligible blocks")
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("--pallas", dest="pallas", action="store_true",
+                   default=None,
+                   help="fused Pallas kernels for eligible blocks "
+                        "(default: auto — on for TPU, off for CPU)")
+    g.add_argument("--no-pallas", dest="pallas", action="store_false")
     return p
 
 
@@ -67,10 +71,10 @@ def main(argv=None):
     if getattr(args, "cpu", False):
         # must run before any backend initialization; the axon TPU
         # plugin otherwise overrides JAX_PLATFORMS=cpu
-        import jax
         jax.config.update("jax_platforms", "cpu")
     from ..utils.jax_cache import enable as _enable_cache
     _enable_cache()
+    from ..inference import resolve_use_pallas
     if args.state:
         from ..training.checkpoint import load_any_weights
         params, batch_stats = load_any_weights(args.state)
@@ -81,7 +85,7 @@ def main(argv=None):
                    height=args.height, width=args.width, warmup=args.warmup,
                    iterations=args.iterations,
                    compute_dtype=jnp.bfloat16 if args.bf16 else None,
-                   use_pallas=args.pallas)
+                   use_pallas=resolve_use_pallas(args.pallas))
     per_img = dt / args.batch_size
     print(f"device: {jax.devices()[0].device_kind}, "
           f"input {args.batch_size}x{args.height}x{args.width}, "

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import os
 
+import jax
 import jax.numpy as jnp
 
 from ..training.trainer import TrainConfig, train_two_stage, train_stage
@@ -76,7 +77,6 @@ def main(argv=None):
     if getattr(args, "cpu", False):
         # must run before any backend initialization; the axon TPU
         # plugin otherwise overrides JAX_PLATFORMS=cpu
-        import jax
         jax.config.update("jax_platforms", "cpu")
     from ..utils.jax_cache import enable as _enable_cache
     _enable_cache()

@@ -45,6 +45,14 @@ _PACK = {128: 1, 64: 2, 16: 8}
 _DOWN_PI = {3: 32, 16: 8, 64: 2}
 
 
+def resolve_use_pallas(flag):
+    """CLI --pallas tri-state: None -> auto (fused kernels on an
+    accelerator, plain XLA on CPU where Pallas would run interpreted)."""
+    if flag is None:
+        return jax.default_backend() != "cpu"
+    return bool(flag)
+
+
 def _apply_down_packed_eval(p, s, x, dtype, interpret):
     """DownsamplerBlock (conv || maxpool -> BN -> relu) via the packed
     Pallas conv kernel, eval mode.  Returns None when the shape doesn't

@@ -55,3 +55,17 @@ def test_imagenet_flags():
     assert a.epochs == 90 and a.batch_size == 256 and a.lr == 0.1
     assert a.momentum == 0.9 and a.weight_decay == 1e-4
     assert a.print_freq == 10 and a.workers == 4
+
+
+def test_pallas_flag_tristate():
+    """--pallas / --no-pallas / absent -> True / False / auto(None)."""
+    from erfnet_pytorch_tpu.cli.eval_iou import build_parser
+    from erfnet_pytorch_tpu.inference import resolve_use_pallas
+    p = build_parser()
+    assert p.parse_args([]).pallas is None
+    assert p.parse_args(["--pallas"]).pallas is True
+    assert p.parse_args(["--no-pallas"]).pallas is False
+    # auto resolves by backend (tests force CPU -> False)
+    assert resolve_use_pallas(None) is False
+    assert resolve_use_pallas(True) is True
+    assert resolve_use_pallas(False) is False
