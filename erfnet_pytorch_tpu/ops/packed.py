@@ -359,11 +359,71 @@ def nb1d_train_packed(params, state, x, *, p, dilated, dropprob, train,
     return y.reshape(B, H, W, C).astype(x.dtype), ns
 
 
+def _drop_mask_packed(rng, p_drop, B, C, p):
+    """Packed-lane dropout2d mask {0, 1/keep} as (B, pC) f32 — same
+    bernoulli draw as _nb1d_epilogue (shape (B,1,1,C), tiled per slot)."""
+    if p_drop <= 0 or rng is None:
+        return jnp.ones((B, p * C), jnp.float32)
+    keep = 1.0 - p_drop
+    mask = jax.random.bernoulli(rng, keep, (B, 1, 1, C))
+    return jnp.tile(jnp.where(mask[:, 0, 0, :], 1.0 / keep, 0.0), (1, p))
+
+
+def _packed_fused_carry_run(params_list, state_list, X, *, p, C, dils,
+                            drops, rngs, bn_eps):
+    """Fused-kernel run with the epilogue CARried between blocks: each
+    block's BN2-affine + dropout + residual + relu applies inside the next
+    block's fused_pair_epi lead stage (models/erfnet.py:_fused_nb1d_run is
+    the unpacked twin)."""
+    from .pallas.nb1d_train import (fused_pair, fused_pair_affine,
+                                    fused_pair_epi, stack_taps_h,
+                                    stack_taps_w)
+    B = X.shape[0]
+    new_states = []
+    pending = None
+    for params, state, d, dp, r in zip(params_list, state_list, dils,
+                                       drops, rngs):
+        def w3(name):
+            w = params[name]["w"]
+            return w[:, 0] if w.shape[1] == 1 else w[0]
+
+        tile = lambda name: jnp.tile(params[name]["b"], p)
+        wh1 = stack_taps_h(w3("conv3x1_1"), p)
+        ww2, s2 = stack_taps_w(w3("conv1x3_1"), p, 1)
+        if pending is None:
+            z1 = fused_pair(X, wh1, tile("conv3x1_1"), ww2,
+                            tile("conv1x3_1"), sh=1, sw=s2)
+            y_in = X
+        else:
+            z1, y_in = fused_pair_epi(*pending, wh1, tile("conv3x1_1"),
+                                      ww2, tile("conv1x3_1"), sh=1, sw=s2)
+        (a1, b1), bn1s = _bn_packed_coeffs(z1, params["bn1"], state["bn1"],
+                                           p=p, train=True, eps=bn_eps)
+        ww4, s4 = stack_taps_w(w3("conv1x3_2"), p, d)
+        t = fused_pair_affine(z1, a1, b1, stack_taps_h(w3("conv3x1_2"), p),
+                              tile("conv3x1_2"), ww4, tile("conv1x3_2"),
+                              sh=d, sw=s4)
+        (a2, b2), bn2s = _bn_packed_coeffs(t, params["bn2"], state["bn2"],
+                                           p=p, train=True, eps=bn_eps)
+        pending = (t, y_in, _drop_mask_packed(r, dp, B, C, p), a2, b2)
+        new_states.append({"bn1": bn1s, "bn2": bn2s})
+    t, y_in, m, a2, b2 = pending
+    X = jax.nn.relu((t * a2.astype(t.dtype) + b2.astype(t.dtype))
+                    * m[:, None, None, :].astype(t.dtype)
+                    + y_in.astype(t.dtype))
+    return X, new_states
+
+
 def nb1d_train_packed_core_run(params_list, state_list, X, *, p, C, dils,
                                drops, train, rngs, bn_eps=1e-3):
     """Run of NB1d blocks on an ALREADY-PACKED (B, H, Wb, pC) tensor —
     the decoder's packed-through train path (models/erfnet.py) keeps
     activations packed across upsampler boundaries.  Returns (X, states)."""
+    from .pallas.nb1d_train import fused_train_enabled, pair_supported
+    if train and fused_train_enabled() and pair_supported(X.shape):
+        return _packed_fused_carry_run(params_list, state_list, X, p=p,
+                                       C=C, dils=dils, drops=drops,
+                                       rngs=rngs, bn_eps=bn_eps)
     new_states = []
     for params, state, d, dp, r in zip(params_list, state_list, dils,
                                        drops, rngs):

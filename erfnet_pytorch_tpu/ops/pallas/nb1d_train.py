@@ -550,6 +550,189 @@ def _pair_affine_op(sh: int, sw: int, interpret: bool):
     return op
 
 
+def pair_epi_reference(t, y_res, m, a, b, wh, bh, ww, bw, *, sh, sw):
+    """Pure-jnp oracle for fused_pair_epi.  m: (B, C) dropout mask already
+    scaled to {0, 1/keep} (ones when dropout is off)."""
+    def one(ti, yi, mi):
+        ac, bc = a.astype(ti.dtype), b.astype(ti.dtype)
+        y_next = jax.nn.relu((ti * ac + bc) * mi.astype(ti.dtype) + yi)
+        _, z = _pair_math(y_next, wh.astype(ti.dtype),
+                          bh.astype(jnp.float32), ww.astype(ti.dtype),
+                          bw.astype(jnp.float32), sh=sh, sw=sw,
+                          lead_relu=False)
+        return z.astype(ti.dtype), y_next
+    return jax.vmap(one)(t, y_res, m)
+
+
+def _fwd_kernel_epi(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, bw, z_ref,
+                    yout_ref, *, sh, sw):
+    t = t_ref[0]
+    y_res = y_ref[0]
+    ac = av[:].astype(t.dtype)
+    bc = bv[:].astype(t.dtype)
+    m = m_ref[0, 0].astype(t.dtype)               # (C,)
+    y_next = jax.nn.relu((t * ac + bc) * m + y_res)
+    _, z = _pair_math(y_next, wh[:].astype(t.dtype),
+                      bh[:].astype(jnp.float32), ww[:].astype(t.dtype),
+                      bw[:].astype(jnp.float32), sh=sh, sw=sw,
+                      lead_relu=False)
+    yout_ref[0] = y_next.astype(yout_ref.dtype)
+    z_ref[0] = z.astype(z_ref.dtype)
+
+
+def _bwd_kernel_epi(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, gz_ref, gy_ref,
+                    dt_ref, dyres_ref, da_ref, db_ref, dwh_ref, dbh_ref,
+                    dww_ref, dbw_ref, *, sh, sw):
+    b = pl.program_id(0)
+    t = t_ref[0]
+    y_res = y_ref[0]
+    gz = gz_ref[0]
+    gy = gy_ref[0]
+    H, Wb, C = t.shape
+    M = H * Wb
+    ac = av[:].astype(t.dtype)
+    bc = bv[:].astype(t.dtype)
+    mc = m_ref[0, 0].astype(t.dtype)
+    pre = (t * ac + bc) * mc + y_res              # act dtype (XLA parity)
+    y_next = jax.nn.relu(pre)
+    dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
+        y_next, gz, wh[:].astype(t.dtype), ww[:].astype(t.dtype),
+        bh[:].astype(jnp.float32), sh=sh, sw=sw)
+    # y_next is also an op OUTPUT (the next residual) — add its cotangent
+    dt0 = dt0 + gy.reshape(M, C).astype(jnp.float32)
+    dsum = jnp.where(pre.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
+    dyres_ref[0] = dsum.reshape(H, Wb, C).astype(dyres_ref.dtype)
+    dpre2 = dsum * m_ref[0]                       # f32 (dropout backward)
+    da = jnp.sum(dpre2 * t.reshape(M, C).astype(jnp.float32),
+                 axis=0).reshape(1, C)
+    db = jnp.sum(dpre2, axis=0).reshape(1, C)
+    dt = dpre2 * av[:].reshape(1, C)
+    dt_ref[0] = dt.reshape(H, Wb, C).astype(dt_ref.dtype)
+    first = b == 0
+    _acc(da_ref, da, first)
+    _acc(db_ref, db, first)
+    _acc(dwh_ref, dwh, first)
+    _acc(dbh_ref, dbh, first)
+    _acc(dww_ref, dww, first)
+    _acc(dbw_ref, dbw, first)
+
+
+def _mask_spec(C):
+    # (B, 1, C) array, (1, 1, C) block: Mosaic requires the block's last
+    # two dims be (8k, 128k) or equal the array's — (1, C) qualifies
+    return pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw,
+                  interpret):
+    B, H, Wb, C = t.shape
+    kernel = functools.partial(_fwd_kernel_epi, sh=sh, sw=sw)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C), _mask_spec(C),
+                  _bspec(C), _bspec(C), _wspec(C), _bspec(C), _wspec(C),
+                  _bspec(C)],
+        out_specs=(_map_spec(H, Wb, C), _map_spec(H, Wb, C)),
+        out_shape=(jax.ShapeDtypeStruct(t.shape, t.dtype),
+                   jax.ShapeDtypeStruct(t.shape, t.dtype)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * H * Wb * C * C,
+            bytes_accessed=4 * H * Wb * C * t.dtype.itemsize
+            + 6 * C * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(t, y_res, m, av, bv, wh, bh, ww, bw)
+
+
+def _bwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, gz, gy, *, sh, sw,
+                  interpret):
+    B, H, Wb, C = t.shape
+    kernel = functools.partial(_bwd_kernel_epi, sh=sh, sw=sw)
+    acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C), _mask_spec(C),
+                  _bspec(C), _bspec(C), _wspec(C), _bspec(C), _wspec(C),
+                  _map_spec(H, Wb, C), _map_spec(H, Wb, C)],
+        out_specs=(_map_spec(H, Wb, C), _map_spec(H, Wb, C), acc_b, acc_b,
+                   acc_w, acc_b, acc_w, acc_b),
+        out_shape=(
+            jax.ShapeDtypeStruct(t.shape, t.dtype),        # dt
+            jax.ShapeDtypeStruct(t.shape, t.dtype),        # dy_res
+            jax.ShapeDtypeStruct((1, C), jnp.float32),     # da
+            jax.ShapeDtypeStruct((1, C), jnp.float32),     # db
+            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dwh
+            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbh
+            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dww
+            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbw
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * 2 * H * Wb * C * C,
+            bytes_accessed=6 * H * Wb * C * t.dtype.itemsize
+            + 12 * C * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(t, y_res, m, av, bv, wh, bh, ww, gz, gy)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_epi_op(sh: int, sw: int, interpret: bool):
+    @jax.custom_vjp
+    def op(t, y_res, m, av, bv, wh, bh, ww, bw):
+        return _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw, sh=sh,
+                             sw=sw, interpret=interpret)
+
+    def fwd(t, y_res, m, av, bv, wh, bh, ww, bw):
+        z, y_next = _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw,
+                                  sh=sh, sw=sw, interpret=interpret)
+        return (z, y_next), (t, y_res, m, av, bv, wh, bh, ww)
+
+    def bwd(res, g):
+        t, y_res, m, av, bv, wh, bh, ww = res
+        gz, gy = g
+        dt, dyres, da, db, dwh, dbh, dww, dbw = _bwd_call_epi(
+            t, y_res, m, av, bv, wh, bh, ww, gz.astype(t.dtype),
+            gy.astype(t.dtype), sh=sh, sw=sw, interpret=interpret)
+        # the dropout mask is a function of the rng only — no grad path
+        return (dt, dyres, jnp.zeros_like(m),
+                da.reshape(-1).astype(av.dtype),
+                db.reshape(-1).astype(bv.dtype), dwh.astype(wh.dtype),
+                dbh.reshape(-1).astype(bh.dtype), dww.astype(ww.dtype),
+                dbw.reshape(-1))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_pair_epi(t, y_res, m, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
+                   interpret: Optional[bool] = None):
+    """fused_pair with the PREVIOUS block's epilogue folded in as the lead
+    stage — the chain carry of a fused NB1d run:
+
+        y_next = relu( (t*a + b) * m + y_res )      # BN2 -> dropout -> +res
+        z      = conv_w( relu( conv_h(y_next) + bh ) ) + bw
+
+    t: previous block's second-pair raw output (pre-BN2); y_res: previous
+    block's input (the residual); m: (B, C) channelwise dropout mask scaled
+    to {0, 1/keep} (ones when off); a/b: BN2 affine (batch_norm_coeffs).
+    Returns (z, y_next) — y_next is this block's residual.  The epilogue's
+    three full-map XLA ops (and their backward) never touch HBM.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m3 = m.astype(jnp.float32).reshape(m.shape[0], 1, m.shape[1])
+    return _pair_epi_op(int(sh), int(sw), bool(interpret))(
+        t, y_res, m3, a.astype(jnp.float32), b.astype(jnp.float32), wh,
+        bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
+
+
 def fused_pair_affine(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
                       interpret: Optional[bool] = None):
     """fused_pair with the BN1 affine folded in as the lead stage:

@@ -295,3 +295,53 @@ def test_fused_pair_affine_value_and_grads(sh, sw):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
             err_msg=f"grad mismatch for {name} (sh={sh} sw={sw})")
+
+
+@pytest.mark.parametrize("sh,sw,drop", [(1, 1, 0.0), (16, 8, 0.3)])
+def test_fused_pair_epi_value_and_grads(sh, sw, drop):
+    """fused_pair_epi (previous block's BN2+dropout+residual+relu folded
+    into the lead stage, dual outputs) == the jnp oracle, values + grads
+    through BOTH outputs."""
+    from erfnet_pytorch_tpu.ops.pallas.nb1d_train import (
+        fused_pair_epi, pair_epi_reference)
+    t, wh, bh, ww, bw = _rand_pair(jax.random.PRNGKey(sh * 13 + sw), 128)
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    y_res = jax.random.normal(ks[0], t.shape)
+    a = jax.random.normal(ks[1], (128,)) * 0.3 + 1.0
+    b = jax.random.normal(ks[2], (128,)) * 0.2
+    keep = 1.0 - drop
+    if drop > 0:
+        m = jnp.where(jax.random.bernoulli(ks[3], keep, (t.shape[0], 128)),
+                      1.0 / keep, 0.0)
+    else:
+        m = jnp.ones((t.shape[0], 128))
+
+    f = lambda *args: fused_pair_epi(*args, m, a, b, wh, bh, ww, bw,
+                                     sh=sh, sw=sw)
+    r = lambda *args: pair_epi_reference(*args, m, a, b, wh, bh, ww, bw,
+                                         sh=sh, sw=sw)
+    (z, yn), vjp_f = jax.vjp(f, t, y_res)
+    (z_ref, yn_ref), vjp_r = jax.vjp(r, t, y_res)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yn), np.asarray(yn_ref),
+                               rtol=1e-6, atol=1e-6)
+    g = (jax.random.normal(jax.random.PRNGKey(9), z.shape),
+         jax.random.normal(jax.random.PRNGKey(10), yn.shape))
+    for got, ref, name in zip(vjp_f(g), vjp_r(g), "t y_res".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name}")
+
+    # full-arg grads (a, b, weights) via the affine/weight positions
+    fa = lambda t_, a_, b_, wh_, bh_, ww_, bw_: fused_pair_epi(
+        t_, y_res, m, a_, b_, wh_, bh_, ww_, bw_, sh=sh, sw=sw)
+    ra = lambda t_, a_, b_, wh_, bh_, ww_, bw_: pair_epi_reference(
+        t_, y_res, m, a_, b_, wh_, bh_, ww_, bw_, sh=sh, sw=sw)
+    out_f, vjp_f2 = jax.vjp(fa, t, a, b, wh, bh, ww, bw)
+    out_r, vjp_r2 = jax.vjp(ra, t, a, b, wh, bh, ww, bw)
+    for got, ref, name in zip(vjp_f2(g), vjp_r2(g),
+                              "t a b wh bh ww bw".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-4,
+            err_msg=f"grad mismatch for {name}")
