@@ -145,6 +145,31 @@ def test_flat_state_opt_roundtrip():
         ts.params, ts2.params)
 
 
+@pytest.mark.parametrize("enc", [False, True])
+def test_eval_step_fused_matches_xla(enc):
+    """Fused eval (head_loss fwd + head_argmax on pre-head feats) == the
+    XLA logits path: same loss, same predictions."""
+    from erfnet_pytorch_tpu.ops.pallas.nb1d_train import fused_train
+
+    tx = optim.make_adam()
+    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 32, 128, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 21, (2, 32, 128)).astype(np.int32))
+    labels = jnp.where(labels == 20, 255, labels)
+
+    with fused_train(False):
+        l0, p0, t0 = make_eval_step(erfnet, DECODER_WEIGHTS,
+                                    enc=enc)(ts, images, labels)
+    with fused_train(True):
+        l1, p1, t1 = make_eval_step(erfnet, DECODER_WEIGHTS,
+                                    enc=enc)(ts, images, labels)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=5e-3)
+    agree = (np.asarray(p1) == np.asarray(p0)).mean()
+    assert agree > 0.999, agree
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
 def test_eval_step_shapes():
     tx = optim.make_adam()
     ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
