@@ -15,6 +15,8 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..inference import add_pallas_flag
 from PIL import Image
 
 from ..data.cityscapes import CityscapesDataset
@@ -42,12 +44,7 @@ def build_parser():
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
-    g = p.add_mutually_exclusive_group()
-    g.add_argument("--pallas", dest="pallas", action="store_true",
-                   default=None,
-                   help="fused Pallas kernels for eligible blocks "
-                        "(default: auto — on for TPU, off for CPU)")
-    g.add_argument("--no-pallas", dest="pallas", action="store_false")
+    add_pallas_flag(p)
     return p
 
 

@@ -16,6 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..inference import add_pallas_flag
+
 from ..models import erfnet
 from ..training.steps import make_infer_fn
 
@@ -33,12 +35,7 @@ def build_parser():
     p.add_argument("--state", help="optional weights (default: random init)")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
-    g = p.add_mutually_exclusive_group()
-    g.add_argument("--pallas", dest="pallas", action="store_true",
-                   default=None,
-                   help="fused Pallas kernels for eligible blocks "
-                        "(default: auto — on for TPU, off for CPU)")
-    g.add_argument("--no-pallas", dest="pallas", action="store_false")
+    add_pallas_flag(p)
     return p
 
 

@@ -16,6 +16,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from ..inference import add_pallas_flag
+
 from ..data.cityscapes import CityscapesDataset
 from ..data.loader import DataLoader
 from ..data.transforms import CLASS_NAMES
@@ -44,12 +46,7 @@ def build_parser():
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
-    g = p.add_mutually_exclusive_group()
-    g.add_argument("--pallas", dest="pallas", action="store_true",
-                   default=None,
-                   help="fused Pallas kernels for eligible blocks "
-                        "(default: auto — on for TPU, off for CPU)")
-    g.add_argument("--no-pallas", dest="pallas", action="store_false")
+    add_pallas_flag(p)
     return p
 
 

@@ -53,6 +53,18 @@ def resolve_use_pallas(flag):
     return bool(flag)
 
 
+def add_pallas_flag(parser):
+    """The shared --pallas/--no-pallas tri-state used by every eval CLI
+    (resolve with resolve_use_pallas after the platform is decided)."""
+    g = parser.add_mutually_exclusive_group()
+    g.add_argument("--pallas", dest="pallas", action="store_true",
+                   default=None,
+                   help="fused Pallas kernels for eligible blocks "
+                        "(default: auto — on for TPU, off for CPU)")
+    g.add_argument("--no-pallas", dest="pallas", action="store_false")
+    return parser
+
+
 def _apply_down_packed_eval(p, s, x, dtype, interpret):
     """DownsamplerBlock (conv || maxpool -> BN -> relu) via the packed
     Pallas conv kernel, eval mode.  Returns None when the shape doesn't

@@ -278,59 +278,22 @@ def _apply_layer_seq(specs, layers_params, layers_state, y, *, train, rng,
     return y, new_layers
 
 
-def _drop_mask2d(rng, p, B, C):
-    """Dropout2d mask scaled to {0, 1/keep} as (B, C) f32 — the SAME
-    bernoulli draw as ops/dropout.py:dropout2d (shape (B,1,1,C)) so the
-    fused-epilogue path is bit-compatible with the XLA oracle."""
-    if p <= 0 or rng is None:
-        return jnp.ones((B, C), jnp.float32)
-    keep = 1.0 - p
-    mask = jax.random.bernoulli(rng, keep, (B, 1, 1, C))
-    return jnp.where(mask[:, 0, 0, :], 1.0 / keep, 0.0)
-
-
 def _fused_nb1d_run(layers, lstate, y, idxs, specs, *, rng, rng_base=0):
     """A run of same-C NB1d blocks through the fused pair kernels with the
-    EPILOGUE CARried into the next block's first kernel: each block's
+    EPILOGUE CARried into the next block's first kernel (each block's
     BN2-affine + dropout + residual + relu applies inside the next
-    fused_pair_epi lead stage, so the three full-map epilogue XLA ops (and
-    their backward) never touch HBM.  BN statistics stay in XLA.
+    fused_pair_epi lead stage).  Exactly ops/packed.py's
+    _packed_fused_carry_run at pack factor p=1 — the tap-stack/tile/mask
+    helpers all degenerate to identities there.
     Returns (y_out, {i: bn_state})."""
-    from ..ops.pallas.nb1d_train import (fused_pair, fused_pair_affine,
-                                         fused_pair_epi)
-    from ..ops.batchnorm import batch_norm_coeffs
-    B, _, _, C = y.shape
-    new: Dict[int, Any] = {}
-    pending = None
-    for i in idxs:
-        _c, drop, dil = specs[i][1]
-        p, s = layers[i], lstate[i]
-        wh1 = p["conv3x1_1"]["w"][:, 0]
-        ww1 = p["conv1x3_1"]["w"][0]
-        if pending is None:
-            z1 = fused_pair(y, wh1, p["conv3x1_1"]["b"], ww1,
-                            p["conv1x3_1"]["b"], sh=1, sw=1)
-            y_in = y
-        else:
-            z1, y_in = fused_pair_epi(*pending, wh1, p["conv3x1_1"]["b"],
-                                      ww1, p["conv1x3_1"]["b"], sh=1, sw=1)
-        (a1, b1), bn1s = batch_norm_coeffs(z1, p["bn1"], s["bn1"],
-                                           train=True, eps=BN_EPS)
-        t = fused_pair_affine(z1, a1, b1, p["conv3x1_2"]["w"][:, 0],
-                              p["conv3x1_2"]["b"], p["conv1x3_2"]["w"][0],
-                              p["conv1x3_2"]["b"], sh=dil, sw=dil)
-        (a2, b2), bn2s = batch_norm_coeffs(t, p["bn2"], s["bn2"],
-                                           train=True, eps=BN_EPS)
-        r = jax.random.fold_in(rng, rng_base + i) if rng is not None \
-            else None
-        m = _drop_mask2d(r, drop, B, C)
-        pending = (t, y_in, m, a2, b2)
-        new[i] = {"bn1": bn1s, "bn2": bn2s}
-    t, y_in, m, a2, b2 = pending
-    y = jax.nn.relu((t * a2.astype(t.dtype) + b2.astype(t.dtype))
-                    * m[:, None, None, :].astype(t.dtype)
-                    + y_in.astype(t.dtype))
-    return y, new
+    from ..ops.packed import _packed_fused_carry_run
+    rngs = [jax.random.fold_in(rng, rng_base + i) if rng is not None
+            else None for i in idxs]
+    y, states = _packed_fused_carry_run(
+        [layers[i] for i in idxs], [lstate[i] for i in idxs], y,
+        p=1, C=y.shape[-1], dils=[specs[i][1][2] for i in idxs],
+        drops=[specs[i][1][1] for i in idxs], rngs=rngs, bn_eps=BN_EPS)
+    return y, dict(zip(idxs, states))
 
 
 _STEM_PI = 32  # image W-packing for the packed stem kernel (32*3=96 lanes)

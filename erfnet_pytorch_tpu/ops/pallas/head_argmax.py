@@ -67,7 +67,9 @@ def _kernel(feats_ref, W, bias, gid, iota, out_ref, *, G, n_classes,
         m = jnp.max(zm, axis=0, keepdims=True)         # (1, CH)
         idx = jnp.min(jnp.where(zm >= m, iota[:], float(n_classes)),
                       axis=0, keepdims=True)           # (1, CH) f32
-        rows.append(idx)
+        # all-NaN column -> no lane passes zm >= m and the sentinel
+        # survives; clamp so preds stay in-range like jnp.argmax
+        rows.append(jnp.minimum(idx, float(n_classes - 1)))
     out_ref[:] = jnp.concatenate(rows, axis=0).astype(jnp.int32)
 
 

@@ -174,7 +174,6 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
 
     def flatten(ts: TrainState) -> FlatState:
         flat_params, unravel = ravel_pytree(ts.params)
-        cell["unravel"], cell["n"] = unravel, int(flat_params.size)
         pdef = jax.tree_util.tree_structure(ts.params)
 
         def is_ptree(x):
@@ -183,18 +182,19 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         opt_state = jax.tree_util.tree_map(
             lambda x: ravel_pytree(x)[0] if is_ptree(x) else x,
             ts.opt_state, is_leaf=is_ptree)
+        cell["unravel"] = unravel
+        # record WHICH opt-state leaves were raveled so unflatten is an
+        # exact inverse (a size heuristic would mis-fire on any future
+        # optax component storing a coincidentally param-count-long vector)
+        cell["raveled"] = jax.tree_util.tree_map(is_ptree, ts.opt_state,
+                                                 is_leaf=is_ptree)
         return FlatState(flat_params, ts.batch_stats, opt_state, ts.step)
 
     def unflatten(fts: FlatState) -> TrainState:
-        unravel, n = cell["unravel"], cell["n"]
-
-        def is_flat(x):
-            return hasattr(x, "ndim") and getattr(x, "ndim", 0) == 1 \
-                and x.size == n
-
+        unravel = cell["unravel"]
         opt_state = jax.tree_util.tree_map(
-            lambda x: unravel(x) if is_flat(x) else x,
-            fts.opt_state, is_leaf=is_flat)
+            lambda x, r: unravel(x) if r else x,
+            fts.opt_state, cell["raveled"])
         return TrainState(unravel(fts.flat_params), fts.batch_stats,
                           opt_state, fts.step)
 

@@ -87,6 +87,11 @@ def test_head_argmax_kernel_matches_oracle():
                        interpret=True)
     assert int(np.asarray(idx0).max()) == 0
 
+    # NaN logits must still yield in-range classes (jnp.argmax does too)
+    fn = jnp.full((M, K), jnp.nan, jnp.float32)
+    idxn = head_argmax(fn, W, bias, G=4, n_classes=C, interpret=True)
+    assert int(np.asarray(idxn).max()) <= C - 1
+
     # depth-to-space plane order: plane g = (a, b), g = a*2 + b
     planes = jnp.arange(4, dtype=jnp.int32)[:, None] * jnp.ones(
         (4, 8), jnp.int32)
