@@ -59,7 +59,8 @@ def create_train_state(model, rng, num_classes, optimizer, encoder=None):
 
 def make_train_step(model, optimizer, class_weights, *, enc: bool,
                     augment: bool = True, compute_dtype=None,
-                    with_pred: bool = False, flat: bool = False):
+                    with_pred: bool = False, flat: bool = False,
+                    multi_step: int = 1):
     """Returns step(ts, images, labels, rng) -> (ts, loss[, preds, labels]).
 
     images: (B, H, W, 3) float in [0,1]; labels: (B, H, W) int32 raw-void
@@ -75,6 +76,13 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
     vector ops instead of ~230 per-leaf kernels.  Convert with the attached
     ``step.flatten(ts) -> FlatState`` / ``step.unflatten(fts) -> TrainState``
     (``flatten`` must be called once before the first step).
+
+    multi_step=K (flat mode, no preds): ONE dispatch runs K optimizer
+    steps via ``lax.scan`` over leading-(K,) batched inputs and returns
+    losses (K,).  On this chip a dispatch costs ~2.5 ms of host overhead
+    vs ~0.5 ms per scan iteration, so K>1 amortizes the per-step gap
+    (device compute is unchanged; the RNG folds the on-device step
+    counter, so the random stream matches K separate dispatches).
     """
     import inspect
 
@@ -198,8 +206,7 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         return TrainState(unravel(fts.flat_params), fts.batch_stats,
                           opt_state, fts.step)
 
-    @jax.jit
-    def flat_step(fts: FlatState, images, labels, rng):
+    def flat_body(fts: FlatState, images, labels, rng):
         unravel = cell["unravel"]  # trace-time constant (set by flatten())
         rng = jax.random.fold_in(rng, fts.step)
         images, labels = co_transform(jax.random.fold_in(rng, 0), images,
@@ -216,6 +223,18 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         if with_pred:
             return new_fts, loss, fast_argmax(logits), labels
         return new_fts, loss
+
+    if multi_step > 1:
+        assert not with_pred, "multi_step is for the no-pred hot loop"
+
+        @jax.jit
+        def flat_step(fts: FlatState, images, labels, rng):
+            def body(carry, batch):
+                new_c, loss = flat_body(carry, batch[0], batch[1], rng)
+                return new_c, loss
+            return jax.lax.scan(body, fts, (images, labels))
+    else:
+        flat_step = jax.jit(flat_body)
 
     class _FlatStep:
         """Callable step carrying the tree<->flat converters."""

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--no-fused", action="store_true")
     ap.add_argument("--flat", action="store_true",
                     help="flat-carry params/optimizer (FlatState)")
+    ap.add_argument("--multi", type=int, default=1,
+                    help="optimizer steps per dispatch (lax.scan)")
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--batch", type=int, default=6)
     args = ap.parse_args()
@@ -43,9 +45,10 @@ def main():
     print("devices:", jax.devices(), flush=True)
     tx = optim.make_adam()
     ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    K = args.multi
     step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
                            augment=True, compute_dtype=jnp.bfloat16,
-                           flat=args.flat)
+                           flat=args.flat, multi_step=K)
     if args.flat:
         ts = step.flatten(ts)
     rng = np.random.RandomState(0)
@@ -53,28 +56,34 @@ def main():
                          .astype(np.float32))
     labels = jnp.asarray(rng.randint(0, 20, (args.batch, 512, 1024))
                          .astype(np.int32))
+    if K > 1:  # replicate ON DEVICE — one host->HBM transfer either way
+        images = jnp.stack([images] * K)
+        labels = jnp.stack([labels] * K)
+
+    def last(loss):
+        return float(loss if K == 1 else loss[-1])
 
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     ts, loss = step(ts, images, labels, key)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
-          f"loss={float(loss):.4f}", flush=True)
+          f"loss={last(loss):.4f}", flush=True)
 
     # warm segment
     for _ in range(SEG):
         ts, loss = step(ts, images, labels, key)
-    float(loss)
+    last(loss)
     t0 = time.perf_counter()
     done = 0
     while done < args.iters:
         for _ in range(SEG):
             ts, loss = step(ts, images, labels, key)
-        float(loss)  # host sync bounds the queue
-        done += SEG
+        last(loss)  # host sync bounds the queue
+        done += SEG * K
     dt = (time.perf_counter() - t0) / done
-    print(f"fused={not args.no_fused} batch={args.batch} "
+    print(f"fused={not args.no_fused} batch={args.batch} multi={K} "
           f"{dt * 1000:.1f} ms/step  {args.batch / dt:.2f} img/s  "
-          f"loss={float(loss):.4f}", flush=True)
+          f"loss={last(loss):.4f}", flush=True)
 
 
 if __name__ == "__main__":

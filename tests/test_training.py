@@ -129,6 +129,37 @@ def test_flat_train_step_matches_tree_step():
     assert int(ts_f.step) == 3
 
 
+def test_multi_step_matches_sequential():
+    """multi_step=2 (lax.scan, one dispatch) == two sequential flat steps:
+    same losses, same final params (the rng folds the on-device step
+    counter, so the random streams line up)."""
+    tx = optim.make_adam(5e-3)
+    images, labels = _tiny_batch()
+    key = jax.random.PRNGKey(7)
+
+    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    s1 = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                         augment=True, flat=True)
+    f1 = s1.flatten(ts)
+    losses_seq = []
+    for _ in range(2):
+        f1, loss = s1(f1, images, labels, key)
+        losses_seq.append(float(loss))
+
+    ts2 = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    s2 = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                         augment=True, flat=True, multi_step=2)
+    f2 = s2.flatten(ts2)
+    f2, losses = s2(f2, jnp.stack([images] * 2), jnp.stack([labels] * 2),
+                    key)
+    np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-5),
+        s1.unflatten(f1).params, s2.unflatten(f2).params)
+    assert int(f2.step) == 2
+
+
 def test_flat_state_opt_roundtrip():
     """flatten/unflatten preserve Adam moments + injected hyperparams."""
     tx = optim.make_adam(5e-4)
