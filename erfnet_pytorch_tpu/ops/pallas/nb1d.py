@@ -177,6 +177,69 @@ def nb1d_infer_packed(x, packed_w, *, p: int, dilated: int, s2: int,
     return out.reshape(B, H, W, C)
 
 
+def _h_chunks(H, W_elems, halo, max_elems):
+    """Rows per chunk so one (R + 2*halo)-row window fits the VMEM-map
+    budget; 0 when even the minimum window doesn't fit."""
+    R = max_elems // W_elems - 2 * halo
+    R = min(H, R - R % 8)
+    return R if R >= 8 else 0
+
+
+def _run_h_chunked(call, x, halo, R):
+    """Run a whole-map kernel over overlapping, CLAMPED H windows.
+
+    A row is exact iff its distance to each window edge is >= halo (the
+    block's H-receptive radius) OR that edge is the true map edge, where
+    the kernel's own zero-fill is the conv's padding.  (Zero-PADDING the
+    input instead would be wrong: pad rows produce relu(bias) != 0
+    intermediate activations.)  Windows share one static size, so this is
+    a single compiled program; kept rows are bit-identical to the
+    whole-map kernel."""
+    B, H, W, C = x.shape
+    Rw = min(H, R + 2 * halo)
+    outs = []
+    s = 0
+    while s < H:
+        keep = min(R, H - s)
+        w_s = min(max(s - halo, 0), H - Rw)
+        yc = call(jax.lax.slice_in_dim(x, w_s, w_s + Rw, axis=1))
+        off = s - w_s
+        outs.append(jax.lax.slice_in_dim(yc, off, off + keep, axis=1))
+        s += keep
+    return jnp.concatenate(outs, axis=1)
+
+
+def nb1d_infer_chunked(x, fused, *, dilated: int, max_elems: int,
+                       interpret: bool = False):
+    """nb1d_infer for maps whose full-VMEM form exceeds `max_elems`
+    elements: H-chunked with halo = 1 + dilated."""
+    B, H, W, C = x.shape
+    R = _h_chunks(H, W * C, 1 + dilated, max_elems)
+    assert R, (x.shape, dilated)
+    return _run_h_chunked(
+        lambda xc: nb1d_infer(xc, fused, dilated=dilated,
+                              interpret=interpret), x, 1 + dilated, R)
+
+
+def nb1d_infer_packed_chunked(x, packed_w, *, p: int, dilated: int, s2: int,
+                              s4: int, max_elems: int,
+                              interpret: bool = False):
+    """nb1d_infer_packed for maps beyond the whole-map VMEM budget."""
+    B, H, W, C = x.shape
+    R = _h_chunks(H, W * C, 1 + dilated, max_elems)
+    assert R, (x.shape, p, dilated)
+    return _run_h_chunked(
+        lambda xc: nb1d_infer_packed(xc, packed_w, p=p, dilated=dilated,
+                                     s2=s2, s4=s4, interpret=interpret),
+        x, 1 + dilated, R)
+
+
+def nb1d_chunk_supported(shape, p: int, dilated: int, max_elems: int):
+    b, h, w, c = shape
+    return (w % p == 0 and (c * p) % 128 == 0 and
+            _h_chunks(h, w * c, 1 + dilated, max_elems) > 0)
+
+
 def _nb1d_stack_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref, *,
                        dils, H: int, W: int, C: int):
     """K sequential NB1d blocks, all VMEM-resident: one HBM read, one write

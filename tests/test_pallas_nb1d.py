@@ -64,3 +64,46 @@ def test_encoder_layer_fn_full_encoder_parity():
                           encoder_layer_fn=layer_fn)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_nb1d_chunked_matches_whole_map():
+    """H-chunked execution (halo = 1 + dilated, corrupted rows discarded)
+    must be bit-identical to the whole-map kernel."""
+    import jax
+    import jax.numpy as jnp
+    from erfnet_pytorch_tpu.ops.pallas.nb1d import (
+        fuse_nb1d_params, nb1d_infer, nb1d_infer_chunked)
+    from erfnet_pytorch_tpu.models.erfnet import init_non_bottleneck_1d
+
+    for d in (1, 4):
+        params, state = init_non_bottleneck_1d(jax.random.PRNGKey(d), 128)
+        fused = fuse_nb1d_params(params, state)
+        x = jax.random.normal(jax.random.PRNGKey(d + 10), (2, 48, 16, 128))
+        ref = nb1d_infer(x, fused, dilated=d, interpret=True)
+        # max_elems forces ~3 chunks at this shape
+        out = nb1d_infer_chunked(x, fused, dilated=d, interpret=True,
+                                 max_elems=(16 + 2 * (1 + d) + 4)
+                                 * 16 * 128)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_nb1d_packed_chunked_matches_whole_map():
+    import jax
+    import jax.numpy as jnp
+    from erfnet_pytorch_tpu.ops.pallas.nb1d import (
+        fuse_nb1d_params, nb1d_infer_packed, nb1d_infer_packed_chunked)
+    from erfnet_pytorch_tpu.ops.packed import pack_nb1d_for_pallas
+    from erfnet_pytorch_tpu.models.erfnet import init_non_bottleneck_1d
+
+    p, d = 2, 1
+    params, state = init_non_bottleneck_1d(jax.random.PRNGKey(0), 64)
+    fused = fuse_nb1d_params(params, state)
+    weights, s2, s4 = pack_nb1d_for_pallas(fused, p, d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 40, 32, 64))
+    ref = nb1d_infer_packed(x, weights, p=p, dilated=d, s2=s2, s4=s4,
+                            interpret=True)
+    out = nb1d_infer_packed_chunked(x, weights, p=p, dilated=d, s2=s2,
+                                    s4=s4, interpret=True,
+                                    max_elems=(8 + 2 * (1 + d) + 6)
+                                    * 32 * 64)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
