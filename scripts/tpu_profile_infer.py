@@ -8,16 +8,16 @@ Usage: python scripts/tpu_profile_infer.py [--batch 8] [--steps 5]
 """
 
 import argparse
-import glob
 import os
-import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from prof_common import parse_latest_trace, repo_root_on_path
+repo_root_on_path()
 
 from erfnet_pytorch_tpu.utils.jax_cache import enable as _enable_cache
 _enable_cache()
@@ -66,17 +66,7 @@ def main():
     float(carry)
     jax.profiler.stop_trace()
 
-    pbs = sorted(glob.glob(os.path.join(
-        args.logdir, "**", "*.xplane.pb"), recursive=True),
-        key=os.path.getmtime)
-    if not pbs:
-        print("no xplane.pb produced", flush=True)
-        return
-    print("trace:", pbs[-1], flush=True)
-    subprocess.run([sys.executable,
-                    os.path.join(os.path.dirname(__file__),
-                                 "parse_xplane.py"),
-                    pbs[-1], str(args.top)])
+    parse_latest_trace(args.logdir, args.top)
 
 
 if __name__ == "__main__":
