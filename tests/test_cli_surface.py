@@ -69,3 +69,16 @@ def test_pallas_flag_tristate():
     assert resolve_use_pallas(None) is False
     assert resolve_use_pallas(True) is True
     assert resolve_use_pallas(False) is False
+
+
+def test_eval_forward_time_end_to_end(capsys):
+    """eval_forwardTime.main runs the full benchmark loop (random-init
+    weights, tiny input) — regression net for main()-level breaks (a
+    function-local jax import once crashed every non---cpu invocation)."""
+    from erfnet_pytorch_tpu.cli import eval_forwardTime
+    per_img = eval_forwardTime.main([
+        "--width", "64", "--height", "32", "--batch-size", "1",
+        "--warmup", "1", "--iterations", "2"])
+    out = capsys.readouterr().out
+    assert "FORWARD:" in out and "FPS" in out
+    assert 0 < per_img < 60
