@@ -22,10 +22,8 @@ from ..data.cityscapes import CityscapesDataset
 from ..data.loader import DataLoader
 from ..data.transforms import CLASS_NAMES
 from ..metrics.iou import IouEval, get_color_entry, colors
-from ..models import erfnet
 from ..ops.augment import co_transform
 from ..training.checkpoint import load_any_weights
-from ..training.steps import make_infer_fn
 
 NUM_CLASSES = 20
 

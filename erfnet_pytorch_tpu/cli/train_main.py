@@ -20,7 +20,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from ..training.trainer import TrainConfig, train_two_stage, train_stage
+from ..training.trainer import TrainConfig, train_two_stage
 from ..training.checkpoint import load_any_weights
 from ..parallel.mesh import make_mesh
 

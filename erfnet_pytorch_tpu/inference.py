@@ -14,9 +14,6 @@ is re-checked per activation shape so odd sizes silently fall back.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 

@@ -15,8 +15,10 @@ The ``features.encoder`` attribute path is load-bearing in the reference
 
 from __future__ import annotations
 
-import math
 from typing import List, Tuple
+
+import math
+
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ for a=1).
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -21,8 +21,7 @@ an out-of-range block, and block shifts zero-fill.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict
 
 import numpy as np
 import jax

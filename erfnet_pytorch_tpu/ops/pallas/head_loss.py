@@ -30,7 +30,6 @@ with den guarded (all-void crop -> 0, not NaN; SURVEY.md §7 hard parts).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np

@@ -15,7 +15,7 @@ files import through utils/torch_import.py instead.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np
