@@ -10,6 +10,7 @@ collectives inserted by XLA.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -223,17 +224,20 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
             return new_fts, loss, fast_argmax(logits), labels
         return new_fts, loss
 
+    # donate the carry: params/moments/BN stats alias into the step's
+    # outputs, letting XLA update in place instead of copying (callers
+    # always rebind the returned state, never reuse the argument)
     if multi_step > 1:
         assert not with_pred, "multi_step is for the no-pred hot loop"
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def flat_step(fts: FlatState, images, labels, rng):
             def body(carry, batch):
                 new_c, loss = flat_body(carry, batch[0], batch[1], rng)
                 return new_c, loss
             return jax.lax.scan(body, fts, (images, labels))
     else:
-        flat_step = jax.jit(flat_body)
+        flat_step = jax.jit(flat_body, donate_argnums=(0,))
 
     class _FlatStep:
         """Callable step carrying the tree<->flat converters."""
