@@ -315,3 +315,31 @@ def test_partial_load_semantics():
     np.testing.assert_array_equal(np.asarray(merged["a"]), np.ones((2, 2)))
     np.testing.assert_array_equal(np.asarray(merged["b"]["c"]), np.zeros(3))
     assert "a" in loaded and "b.c" in skipped and "extra" in skipped
+
+
+def test_fused_paths_engaged_at_benchmark_shapes():
+    """Eligibility gates must hold at the canonical benchmark shapes —
+    a refactor that silently drops these to the XLA fallback would tank
+    throughput without failing any numerics test."""
+    from erfnet_pytorch_tpu.models.erfnet import (_encoder_packed_ok,
+                                                  _decoder_packed_ok)
+    from erfnet_pytorch_tpu.ops.pallas.nb1d_train import pair_supported
+    from erfnet_pytorch_tpu.ops.pallas.head_loss import head_loss_supported
+    from erfnet_pytorch_tpu.ops.pallas.head_argmax import (
+        head_argmax_supported)
+    from erfnet_pytorch_tpu.inference import _eligible, _MAX_MAP_ELEMS
+    from erfnet_pytorch_tpu.ops.pallas.nb1d import nb1d_chunk_supported
+
+    # training at batch 6, 512x1024 (the recipe)
+    assert _encoder_packed_ok((6, 512, 1024, 3))
+    assert _decoder_packed_ok((6, 64, 128, 128))
+    assert pair_supported((6, 128, 128, 128))
+    assert head_loss_supported(6 * 256 * 64, 128, 32, 20)  # packed head
+    # inference at batch 8, 512x1024 (the headline bench)
+    assert head_argmax_supported(8 * 256 * 512, 16, 4, 20)
+    assert _eligible((8, 64, 128, 128), 1)      # dilated C128 blocks
+    assert _eligible((8, 128, 256, 64), 2)      # C64 stages
+    assert _eligible((8, 256, 512, 16), 8)      # C16 decoder stages
+    # streaming 1024x2048: big-map stages must at least chunk
+    assert nb1d_chunk_supported((1, 512, 1024, 16), 8, 1, _MAX_MAP_ELEMS)
+    assert nb1d_chunk_supported((1, 256, 512, 64), 2, 1, _MAX_MAP_ELEMS)
