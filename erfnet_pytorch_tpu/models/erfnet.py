@@ -97,27 +97,32 @@ def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
         return nb1d_train_packed(params, state, x, p=p, dilated=dilated,
                                  dropprob=dropprob, train=train, rng=rng,
                                  compute_dtype=compute_dtype, bn_eps=BN_EPS)
-    from ..ops.pallas.nb1d_train import (fused_pair, fused_pair_affine,
+    from ..ops.pallas.nb1d_train import (fused_pair_stats,
+                                         fused_pair_affine_stats,
                                          fused_train_enabled,
                                          pair_supported)
     if (train and c % 128 == 0 and fused_train_enabled()
             and pair_supported(x.shape)):
         # fused conv-pair Pallas kernels with custom VJP (one fwd + one bwd
-        # dispatch per pair; the step is per-op-overhead bound on this chip)
-        from ..ops.batchnorm import batch_norm_coeffs
+        # dispatch per pair; the step is per-op-overhead bound on this
+        # chip).  Both BatchNorms consume IN-KERNEL batch statistics.
+        from ..ops.packed import _bn_packed_coeffs_from_sums
         xc = x.astype(compute_dtype) if compute_dtype else x
-        y = fused_pair(xc, params["conv3x1_1"]["w"][:, 0],
-                       params["conv3x1_1"]["b"],
-                       params["conv1x3_1"]["w"][0],
-                       params["conv1x3_1"]["b"], sh=1, sw=1)
-        # BN1 stats in XLA; affine + relu fold into the next pair kernel
-        (a1, b1), bn1s = batch_norm_coeffs(y, params["bn1"], state["bn1"],
-                                           train=train, eps=BN_EPS)
-        y = fused_pair_affine(y, a1, b1, params["conv3x1_2"]["w"][:, 0],
-                              params["conv3x1_2"]["b"],
-                              params["conv1x3_2"]["w"][0],
-                              params["conv1x3_2"]["b"], sh=dilated,
-                              sw=dilated)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        y, s1a, s1b = fused_pair_stats(
+            xc, params["conv3x1_1"]["w"][:, 0], params["conv3x1_1"]["b"],
+            params["conv1x3_1"]["w"][0], params["conv1x3_1"]["b"],
+            sh=1, sw=1)
+        # BN1 affine + relu fold into the next pair kernel's lead stage
+        (a1, b1), bn1s = _bn_packed_coeffs_from_sums(
+            s1a, s1b, n, params["bn1"], state["bn1"], p=1, eps=BN_EPS)
+        y, s2a, s2b = fused_pair_affine_stats(
+            y, a1, b1, params["conv3x1_2"]["w"][:, 0],
+            params["conv3x1_2"]["b"], params["conv1x3_2"]["w"][0],
+            params["conv1x3_2"]["b"], sh=dilated, sw=dilated)
+        (a2, b2), bn2s = _bn_packed_coeffs_from_sums(
+            s2a, s2b, n, params["bn2"], state["bn2"], p=1, eps=BN_EPS)
+        y = y * a2.astype(y.dtype) + b2.astype(y.dtype)
     else:
         # factorized convs as shifted MXU matmuls (conv_3tap_mm): same math
         # as lax convs with SAME padding, ~9x faster fwd+bwd on TPU
@@ -140,8 +145,8 @@ def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
                          params["conv1x3_2"]["b"],
                          axis=2, dilation=dilated,
                          compute_dtype=compute_dtype)
-    y, bn2s = batch_norm(y, params["bn2"], state["bn2"], train=train,
-                         eps=BN_EPS)
+        y, bn2s = batch_norm(y, params["bn2"], state["bn2"], train=train,
+                             eps=BN_EPS)
     if train and dropprob > 0:
         y = dropout2d(rng, y, dropprob, train=True)
     y = jax.nn.relu(y + x.astype(y.dtype))

@@ -277,6 +277,26 @@ def _bn_packed_coeffs(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
     return (jnp.tile(inv, p), jnp.tile(bias - mean * inv, p)), new_state
 
 
+def _bn_packed_coeffs_from_sums(s1, s2, n, bn_params, bn_state, *, p,
+                                eps=1e-3, momentum=0.1):
+    """_bn_packed_coeffs (train mode) with the batch sum / sum-of-squares
+    SUPPLIED by the producing fused kernel (ops/pallas/nb1d_train.py
+    ``*_stats`` ops) — the full-map XLA reduction never runs.  s1/s2:
+    (pC,)-reshapeable f32; n: GLOBAL element count per true channel."""
+    C = bn_params["scale"].shape[0]
+    scale = bn_params["scale"].astype(jnp.float32)
+    bias = bn_params["bias"].astype(jnp.float32)
+    mean = s1.reshape(p, C).sum(0) / n
+    var = s2.reshape(p, C).sum(0) / n - jnp.square(mean)
+    unbiased = var * (n / max(n - 1, 1))
+    new_state = {
+        "mean": (1 - momentum) * bn_state["mean"] + momentum * mean,
+        "var": (1 - momentum) * bn_state["var"] + momentum * unbiased,
+    }
+    inv = scale * jax.lax.rsqrt(var + eps)
+    return (jnp.tile(inv, p), jnp.tile(bias - mean * inv, p)), new_state
+
+
 def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
                             train, rng, bn_eps):
     """One NB1d block on an ALREADY-PACKED (B, H, Wb, pC) tensor.
@@ -284,7 +304,8 @@ def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
     When the fused train kernels are enabled (TPU default) each conv pair
     runs as ONE Pallas forward + ONE custom-VJP backward kernel — the XLA
     tap-by-tap form below is the CPU path and the numerics oracle."""
-    from .pallas.nb1d_train import (fused_pair, fused_pair_affine,
+    from .pallas.nb1d_train import (fused_pair_stats,
+                                    fused_pair_affine_stats,
                                     fused_train_enabled, pair_supported,
                                     stack_taps_h, stack_taps_w)
 
@@ -293,21 +314,24 @@ def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
         return w[:, 0] if w.shape[1] == 1 else w[0]
 
     if train and fused_train_enabled() and pair_supported(X.shape):
+        n = X.shape[0] * X.shape[1] * X.shape[2] * p
         tile = lambda name: jnp.tile(params[name]["b"], p)
         ww2, s2 = stack_taps_w(w3("conv1x3_1"), p, 1)
-        t = fused_pair(X, stack_taps_h(w3("conv3x1_1"), p),
-                       tile("conv3x1_1"), ww2, tile("conv1x3_1"),
-                       sh=1, sw=s2)
-        # BN1 stays a tiny XLA reduction; its affine + relu fold into the
-        # second pair kernel's lead stage (full map never re-materialized)
-        (a1, b1), bn1s = _bn_packed_coeffs(t, params["bn1"], state["bn1"],
-                                           p=p, train=train, eps=bn_eps)
+        t, s1a, s1b = fused_pair_stats(
+            X, stack_taps_h(w3("conv3x1_1"), p), tile("conv3x1_1"), ww2,
+            tile("conv1x3_1"), sh=1, sw=s2)
+        # BN1 stats come OUT of the kernel; only the tiny (pC,) coeff math
+        # runs in XLA, and the affine + relu fold into the second pair
+        # kernel's lead stage (full map never re-materialized or re-read)
+        (a1, b1), bn1s = _bn_packed_coeffs_from_sums(
+            s1a, s1b, n, params["bn1"], state["bn1"], p=p, eps=bn_eps)
         ww4, s4 = stack_taps_w(w3("conv1x3_2"), p, dilated)
-        t = fused_pair_affine(t, a1, b1, stack_taps_h(w3("conv3x1_2"), p),
-                              tile("conv3x1_2"), ww4, tile("conv1x3_2"),
-                              sh=dilated, sw=s4)
-        t, bn2s = _bn_packed(t, params["bn2"], state["bn2"], p=p,
-                             train=train, eps=bn_eps)
+        t, s2a, s2b = fused_pair_affine_stats(
+            t, a1, b1, stack_taps_h(w3("conv3x1_2"), p), tile("conv3x1_2"),
+            ww4, tile("conv1x3_2"), sh=dilated, sw=s4)
+        (a2, b2), bn2s = _bn_packed_coeffs_from_sums(
+            s2a, s2b, n, params["bn2"], state["bn2"], p=p, eps=bn_eps)
+        t = t * a2.astype(t.dtype) + b2.astype(t.dtype)
         return _nb1d_epilogue(params, X, t, bn1s, bn2s, p=p, C=C,
                               dropprob=dropprob, train=train, rng=rng)
 
@@ -374,10 +398,12 @@ def _packed_fused_carry_run(params_list, state_list, X, *, p, C, dils,
     block's BN2-affine + dropout + residual + relu applies inside the next
     block's fused_pair_epi lead stage (models/erfnet.py:_fused_nb1d_run is
     the unpacked twin)."""
-    from .pallas.nb1d_train import (fused_pair, fused_pair_affine,
-                                    fused_pair_epi, stack_taps_h,
+    from .pallas.nb1d_train import (fused_pair_stats,
+                                    fused_pair_affine_stats,
+                                    fused_pair_epi_stats, stack_taps_h,
                                     stack_taps_w)
     B = X.shape[0]
+    n = X.shape[0] * X.shape[1] * X.shape[2] * p
     new_states = []
     pending = None
     for params, state, d, dp, r in zip(params_list, state_list, dils,
@@ -390,20 +416,23 @@ def _packed_fused_carry_run(params_list, state_list, X, *, p, C, dils,
         wh1 = stack_taps_h(w3("conv3x1_1"), p)
         ww2, s2 = stack_taps_w(w3("conv1x3_1"), p, 1)
         if pending is None:
-            z1 = fused_pair(X, wh1, tile("conv3x1_1"), ww2,
-                            tile("conv1x3_1"), sh=1, sw=s2)
+            z1, s1a, s1b = fused_pair_stats(X, wh1, tile("conv3x1_1"), ww2,
+                                            tile("conv1x3_1"), sh=1, sw=s2)
             y_in = X
         else:
-            z1, y_in = fused_pair_epi(*pending, wh1, tile("conv3x1_1"),
-                                      ww2, tile("conv1x3_1"), sh=1, sw=s2)
-        (a1, b1), bn1s = _bn_packed_coeffs(z1, params["bn1"], state["bn1"],
-                                           p=p, train=True, eps=bn_eps)
+            z1, y_in, s1a, s1b = fused_pair_epi_stats(
+                *pending, wh1, tile("conv3x1_1"), ww2, tile("conv1x3_1"),
+                sh=1, sw=s2)
+        # batch statistics come OUT of the kernels (in-kernel accumulation
+        # + psum under shard_map); XLA runs only the (pC,) coeff math
+        (a1, b1), bn1s = _bn_packed_coeffs_from_sums(
+            s1a, s1b, n, params["bn1"], state["bn1"], p=p, eps=bn_eps)
         ww4, s4 = stack_taps_w(w3("conv1x3_2"), p, d)
-        t = fused_pair_affine(z1, a1, b1, stack_taps_h(w3("conv3x1_2"), p),
-                              tile("conv3x1_2"), ww4, tile("conv1x3_2"),
-                              sh=d, sw=s4)
-        (a2, b2), bn2s = _bn_packed_coeffs(t, params["bn2"], state["bn2"],
-                                           p=p, train=True, eps=bn_eps)
+        t, s2a, s2b = fused_pair_affine_stats(
+            z1, a1, b1, stack_taps_h(w3("conv3x1_2"), p), tile("conv3x1_2"),
+            ww4, tile("conv1x3_2"), sh=d, sw=s4)
+        (a2, b2), bn2s = _bn_packed_coeffs_from_sums(
+            s2a, s2b, n, params["bn2"], state["bn2"], p=p, eps=bn_eps)
         pending = (t, y_in, _drop_mask_packed(r, dp, B, C, p), a2, b2)
         new_states.append({"bn1": bn1s, "bn2": bn2s})
     t, y_in, m, a2, b2 = pending

@@ -38,6 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .upsampler import _hshift, _bshift
 
+from ...parallel import spmd
+
 
 @functools.lru_cache(maxsize=None)
 def _down_placement(pi: int, cin: int, cc: int):
@@ -177,6 +179,13 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 
 
 def _call_fwd(x, K, bias, *, Cin, Cc, interpret):
+    return spmd.shard_batch_call(
+        functools.partial(_call_fwd_local, Cin=Cin, Cc=Cc,
+                          interpret=interpret),
+        (True, False, False))(x, K, bias)
+
+
+def _call_fwd_local(x, K, bias, *, Cin, Cc, interpret):
     B, H, Wb, C = x.shape
     H2 = H // 2
     co = K.shape[-1]
@@ -205,6 +214,14 @@ def _call_fwd(x, K, bias, *, Cin, Cc, interpret):
 
 
 def _call_bwd(x, g, K, *, Cin, Cc, interpret):
+    dx, dK, db = spmd.shard_batch_call(
+        functools.partial(_call_bwd_local, Cin=Cin, Cc=Cc,
+                          interpret=interpret),
+        (True, True, False), reduce_out=(False, True, True))(x, g, K)
+    return dx, dK, db.reshape(-1)
+
+
+def _call_bwd_local(x, g, K, *, Cin, Cc, interpret):
     B, H, Wb, C = x.shape
     H2 = H // 2
     co = K.shape[-1]
@@ -239,7 +256,7 @@ def _call_bwd(x, g, K, *, Cin, Cc, interpret):
             transcendentals=0),
         interpret=interpret,
     )(x, g, K)
-    return dx, dK, db.reshape(-1)
+    return dx, dK, db
 
 
 @functools.lru_cache(maxsize=None)
@@ -298,4 +315,5 @@ def downsampler_packed(x, w_hwio, b, *, pi: int,
 def down_packed_supported(x_shape, pi: int) -> bool:
     b, h, wb, c = x_shape
     return (c % pi == 0 and pi % 2 == 0 and pi >= 2 and h % 2 == 0
-            and h * wb * c <= 2 * 1024 * 1024 and (c // pi) * pi == c)
+            and h * wb * c <= 2 * 1024 * 1024 and (c // pi) * pi == c
+            and b % spmd.data_shards() == 0)

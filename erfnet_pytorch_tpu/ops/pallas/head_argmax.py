@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...parallel import spmd
+
 _MAX_CHUNK = 16384
 
 
@@ -46,6 +48,10 @@ def _chunk(M: int) -> int:
 
 
 def head_argmax_supported(M: int, K: int, G: int, n_classes: int) -> bool:
+    n = spmd.data_shards()
+    if M % n:
+        return False
+    M //= n  # validate the PER-SHARD row count the kernel will see
     return (G * n_classes <= 512 and K <= 512
             and _chunk(M) % 128 == 0)
 
@@ -121,9 +127,15 @@ def head_argmax(feats, W, bias, *, G: int, n_classes: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     round_bf16 = feats.dtype == jnp.bfloat16
-    return _op(int(feats.shape[1]), int(G), int(n_classes),
-               bool(round_bf16), bool(interpret))(
-        feats, W.astype(jnp.float32), bias.astype(jnp.float32))
+    op = _op(int(feats.shape[1]), int(G), int(n_classes),
+             bool(round_bf16), bool(interpret))
+    mesh, ax = spmd.active()
+    if mesh is not None:
+        # rows shard over data; the (G, M) plane output shards on axis 1
+        from jax.sharding import PartitionSpec as P
+        op = jax.shard_map(op, mesh=mesh, in_specs=(P(ax), P(), P()),
+                           out_specs=P(None, ax), check_vma=False)
+    return op(feats, W.astype(jnp.float32), bias.astype(jnp.float32))
 
 
 def depth_to_space_planes(idx, B: int, H: int, W: int):

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...parallel import spmd
+
 _MAX_CHUNK = 16384
 _CHUNK_VMEM_BUDGET = 60 * 1024 * 1024  # ~6 live (CH, GC) f32 buffers
 
@@ -51,6 +53,10 @@ def _chunk(M: int, GC: int = 80) -> int:
 
 
 def head_loss_supported(M: int, K: int, G: int, n_classes: int) -> bool:
+    n = spmd.data_shards()
+    if M % n:
+        return False
+    M //= n  # validate the PER-SHARD row count the kernel will see
     return (G * n_classes <= 768 and K <= 512 and M % 8 == 0
             and _chunk(M, G * n_classes) % 8 == 0)
 
@@ -162,6 +168,14 @@ def make_head_loss(class_weights, *, n_classes: int, G: int,
     GC = G * n_classes
 
     def fwd_call(feats, W, bias, labels):
+        # rows shard over the data axis (M is B-major); per-shard num/den
+        # partial sums psum to the global weighted-NLL accumulators
+        num, den = spmd.shard_batch_call(
+            _fwd_local, (True, False, False, True),
+            reduce_out=(True, True))(feats, W, bias, labels)
+        return num[0, 0], den[0, 0]
+
+    def _fwd_local(feats, W, bias, labels):
         M, K = feats.shape
         CH = _chunk(M, GC)
         acc = pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -181,9 +195,16 @@ def make_head_loss(class_weights, *, n_classes: int, G: int,
                 transcendentals=2 * M * GC),
             interpret=interpret,
         )(feats, W, bias, labels, R, S, iota, cw)
-        return num[0, 0], den[0, 0]
+        return num, den
 
     def bwd_call(feats, W, bias, labels, gnum):
+        dfeats, dW, db = spmd.shard_batch_call(
+            _bwd_local, (True, False, False, True, False),
+            reduce_out=(False, True, True))(
+            feats, W, bias, labels, gnum.reshape(1, 1).astype(jnp.float32))
+        return dfeats, dW, db.reshape(-1)
+
+    def _bwd_local(feats, W, bias, labels, gnum2d):
         M, K = feats.shape
         CH = _chunk(M, GC)
         v = pltpu.VMEM
@@ -211,9 +232,8 @@ def make_head_loss(class_weights, *, n_classes: int, G: int,
                 + M * G * 4,
                 transcendentals=M * GC),
             interpret=interpret,
-        )(feats, W, bias, labels, R, S, iota, cw,
-          gnum.reshape(1, 1).astype(jnp.float32))
-        return dfeats, dW, db.reshape(-1)
+        )(feats, W, bias, labels, R, S, iota, cw, gnum2d)
+        return dfeats, dW, db
 
     @jax.custom_vjp
     def op(feats, W, bias, labels):

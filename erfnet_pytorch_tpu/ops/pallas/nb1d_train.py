@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...parallel import spmd
+
 # ---------------------------------------------------------------------------
 # Enable switch: auto = fused kernels on TPU, plain-XLA path on CPU (the
 # interpreter is for parity tests, not speed).
@@ -52,11 +54,14 @@ _ENABLED: Optional[bool] = None  # None = auto
 
 def fused_train_enabled() -> bool:
     if _ENABLED is None:
-        # auto: on for a single accelerator; off on CPU (interpret mode is
-        # for tests) and off under a multi-device mesh (pallas_call has no
-        # SPMD partitioning rule — the XLA matmul path shards cleanly)
+        # auto: on for accelerators — single-chip, or multi-chip once the
+        # trainer registers its DP mesh (parallel/spmd.py wraps each
+        # batch-grid kernel in shard_map over the data axis).  Off on CPU
+        # (interpret mode is for tests) and off when >1 device is visible
+        # but no mesh was registered (plain jit would gather the batch).
         return (jax.default_backend() not in ("cpu",)
-                and jax.device_count() == 1)
+                and (jax.device_count() == 1
+                     or spmd.active()[0] is not None))
     return _ENABLED
 
 
@@ -84,7 +89,8 @@ _MAX_MAP_ELEMS = 2 * 1024 * 1024
 def pair_supported(shape) -> bool:
     b, h, wb, c = shape
     return (c % 128 == 0 and (h * wb) % 8 == 0
-            and h * wb * c <= _MAX_MAP_ELEMS)
+            and h * wb * c <= _MAX_MAP_ELEMS
+            and b % spmd.data_shards() == 0)
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +307,28 @@ def _acc(ref, val, first):
         ref[:] = ref[:] + val
 
 
+def _emit_stats(z_ref, s1_ref, s2_ref):
+    """Accumulate batch sum / sum-of-squares of the just-written output
+    block across the batch grid — the cross-batch BatchNorm statistics
+    reductions that otherwise re-read the full map in XLA."""
+    b = pl.program_id(0)
+    z = z_ref[0].astype(jnp.float32)
+    zf = z.reshape(z.shape[0] * z.shape[1], z.shape[2])
+    first = b == 0
+    _acc(s1_ref, jnp.sum(zf, axis=0).reshape(1, -1), first)
+    _acc(s2_ref, jnp.sum(zf * zf, axis=0).reshape(1, -1), first)
+
+
+def _adjust_g(g, z_ref, gs1, gs2):
+    """Fold the BN-statistics cotangents into the upstream gradient:
+    d(sum)/dz = 1, d(sumsq)/dz = 2z — the backward of _emit_stats, applied
+    in-kernel so XLA never runs the broadcast+mul+add full-map pass."""
+    zf = z_ref[0].astype(jnp.float32)
+    adj = g.astype(jnp.float32) + gs1[:].reshape(1, 1, -1) \
+        + 2.0 * zf * gs2[:].reshape(1, 1, -1)
+    return adj.astype(g.dtype)
+
+
 def _bwd_kernel(x_ref, g_ref, wh, bh, ww, dx_ref, dwh_ref, dbh_ref,
                 dww_ref, dbw_ref, *, sh, sw, lead_relu):
     b = pl.program_id(0)
@@ -380,54 +408,68 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 
 
 def _fwd_call(x, wh, bh, ww, bw, *, sh, sw, lead_relu, interpret):
-    B, H, Wb, C = x.shape
-    kernel = functools.partial(_fwd_kernel, sh=sh, sw=sw,
-                               lead_relu=lead_relu)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[_map_spec(H, Wb, C), _wspec(C), _bspec(C), _wspec(C),
-                  _bspec(C)],
-        out_specs=_map_spec(H, Wb, C),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        cost_estimate=pl.CostEstimate(
-            flops=6 * 2 * H * Wb * C * C,
-            bytes_accessed=2 * H * Wb * C * x.dtype.itemsize
-            + 6 * C * C * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(x, wh, bh, ww, bw)
+    def call(x, wh, bh, ww, bw):
+        # shapes read INSIDE: under shard_map they are the per-shard views
+        B, H, Wb, C = x.shape
+        kernel = functools.partial(_fwd_kernel, sh=sh, sw=sw,
+                                   lead_relu=lead_relu)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _wspec(C), _bspec(C), _wspec(C),
+                      _bspec(C)],
+            out_specs=_map_spec(H, Wb, C),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * 2 * H * Wb * C * C,
+                bytes_accessed=2 * H * Wb * C * x.dtype.itemsize
+                + 6 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, wh, bh, ww, bw)
+
+    return spmd.shard_batch_call(
+        call, (True, False, False, False, False))(x, wh, bh, ww, bw)
 
 
 def _bwd_call(x, g, wh, bh, ww, *, sh, sw, lead_relu, interpret):
-    B, H, Wb, C = x.shape
-    kernel = functools.partial(_bwd_kernel, sh=sh, sw=sw,
-                               lead_relu=lead_relu)
-    acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    acc_b = pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C), _wspec(C),
-                  _bspec(C), _wspec(C)],
-        out_specs=(_map_spec(H, Wb, C), acc_w, acc_b, acc_w, acc_b),
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),        # dx
-            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dwh
-            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbh
-            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dww
-            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbw
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        cost_estimate=pl.CostEstimate(
-            flops=15 * 2 * H * Wb * C * C,
-            bytes_accessed=3 * H * Wb * C * x.dtype.itemsize
-            + 12 * C * C * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(x, g, wh, bh, ww)
+    def call(x, g, wh, bh, ww):
+        B, H, Wb, C = x.shape
+        kernel = functools.partial(_bwd_kernel, sh=sh, sw=sw,
+                                   lead_relu=lead_relu)
+        acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        acc_b = pl.BlockSpec((1, C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C), _wspec(C),
+                      _bspec(C), _wspec(C)],
+            out_specs=(_map_spec(H, Wb, C), acc_w, acc_b, acc_w, acc_b),
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),        # dx
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dwh
+                jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbh
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dww
+                jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbw
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=15 * 2 * H * Wb * C * C,
+                bytes_accessed=3 * H * Wb * C * x.dtype.itemsize
+                + 12 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, g, wh, bh, ww)
+
+    # per-shard dW/db partials psum-reduce to the global weight grads
+    return spmd.shard_batch_call(
+        call, (True, True, False, False, False),
+        reduce_out=(False, True, True, True, True))(x, g, wh, bh, ww)
 
 
 @functools.lru_cache(maxsize=None)
@@ -473,55 +515,67 @@ def fused_pair(x, wh, bh, ww, bw, *, sh: int, sw: int,
 
 
 def _fwd_call_affine(x, av, bv, wh, bh, ww, bw, *, sh, sw, interpret):
-    B, H, Wb, C = x.shape
-    kernel = functools.partial(_fwd_kernel_affine, sh=sh, sw=sw)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[_map_spec(H, Wb, C), _bspec(C), _bspec(C), _wspec(C),
-                  _bspec(C), _wspec(C), _bspec(C)],
-        out_specs=_map_spec(H, Wb, C),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        cost_estimate=pl.CostEstimate(
-            flops=6 * 2 * H * Wb * C * C,
-            bytes_accessed=2 * H * Wb * C * x.dtype.itemsize
-            + 6 * C * C * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(x, av, bv, wh, bh, ww, bw)
+    def call(x, av, bv, wh, bh, ww, bw):
+        B, H, Wb, C = x.shape
+        kernel = functools.partial(_fwd_kernel_affine, sh=sh, sw=sw)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _bspec(C), _bspec(C), _wspec(C),
+                      _bspec(C), _wspec(C), _bspec(C)],
+            out_specs=_map_spec(H, Wb, C),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * 2 * H * Wb * C * C,
+                bytes_accessed=2 * H * Wb * C * x.dtype.itemsize
+                + 6 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, av, bv, wh, bh, ww, bw)
+
+    return spmd.shard_batch_call(
+        call, (True,) + (False,) * 6)(x, av, bv, wh, bh, ww, bw)
 
 
 def _bwd_call_affine(x, g, av, bv, wh, bh, ww, *, sh, sw, interpret):
-    B, H, Wb, C = x.shape
-    kernel = functools.partial(_bwd_kernel_affine, sh=sh, sw=sw)
-    acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    acc_b = pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C), _bspec(C),
-                  _bspec(C), _wspec(C), _bspec(C), _wspec(C)],
-        out_specs=(_map_spec(H, Wb, C), acc_b, acc_b, acc_w, acc_b, acc_w,
-                   acc_b),
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),        # dx
-            jax.ShapeDtypeStruct((1, C), jnp.float32),     # da
-            jax.ShapeDtypeStruct((1, C), jnp.float32),     # db
-            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dwh
-            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbh
-            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dww
-            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbw
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        cost_estimate=pl.CostEstimate(
-            flops=15 * 2 * H * Wb * C * C,
-            bytes_accessed=3 * H * Wb * C * x.dtype.itemsize
-            + 12 * C * C * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(x, g, av, bv, wh, bh, ww)
+    def call(x, g, av, bv, wh, bh, ww):
+        B, H, Wb, C = x.shape
+        kernel = functools.partial(_bwd_kernel_affine, sh=sh, sw=sw)
+        acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        acc_b = pl.BlockSpec((1, C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C), _bspec(C),
+                      _bspec(C), _wspec(C), _bspec(C), _wspec(C)],
+            out_specs=(_map_spec(H, Wb, C), acc_b, acc_b, acc_w, acc_b,
+                       acc_w, acc_b),
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),        # dx
+                jax.ShapeDtypeStruct((1, C), jnp.float32),     # da
+                jax.ShapeDtypeStruct((1, C), jnp.float32),     # db
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dwh
+                jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbh
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dww
+                jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbw
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=15 * 2 * H * Wb * C * C,
+                bytes_accessed=3 * H * Wb * C * x.dtype.itemsize
+                + 12 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, g, av, bv, wh, bh, ww)
+
+    return spmd.shard_batch_call(
+        call, (True, True) + (False,) * 5,
+        reduce_out=(False,) + (True,) * 6)(x, g, av, bv, wh, bh, ww)
 
 
 @functools.lru_cache(maxsize=None)
@@ -626,60 +680,76 @@ def _mask_spec(C):
 
 def _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw,
                   interpret):
-    B, H, Wb, C = t.shape
-    kernel = functools.partial(_fwd_kernel_epi, sh=sh, sw=sw)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C), _mask_spec(C),
-                  _bspec(C), _bspec(C), _wspec(C), _bspec(C), _wspec(C),
-                  _bspec(C)],
-        out_specs=(_map_spec(H, Wb, C), _map_spec(H, Wb, C)),
-        out_shape=(jax.ShapeDtypeStruct(t.shape, t.dtype),
-                   jax.ShapeDtypeStruct(t.shape, t.dtype)),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        cost_estimate=pl.CostEstimate(
-            flops=6 * 2 * H * Wb * C * C,
-            bytes_accessed=4 * H * Wb * C * t.dtype.itemsize
-            + 6 * C * C * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(t, y_res, m, av, bv, wh, bh, ww, bw)
+    def call(t, y_res, m, av, bv, wh, bh, ww, bw):
+        B, H, Wb, C = t.shape
+        kernel = functools.partial(_fwd_kernel_epi, sh=sh, sw=sw)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C),
+                      _mask_spec(C), _bspec(C), _bspec(C), _wspec(C),
+                      _bspec(C), _wspec(C), _bspec(C)],
+            out_specs=(_map_spec(H, Wb, C), _map_spec(H, Wb, C)),
+            out_shape=(jax.ShapeDtypeStruct(t.shape, t.dtype),
+                       jax.ShapeDtypeStruct(t.shape, t.dtype)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * 2 * H * Wb * C * C,
+                bytes_accessed=4 * H * Wb * C * t.dtype.itemsize
+                + 6 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(t, y_res, m, av, bv, wh, bh, ww, bw)
+
+    return spmd.shard_batch_call(
+        call, (True, True, True) + (False,) * 6,
+        reduce_out=(False, False))(t, y_res, m, av, bv, wh, bh, ww, bw)
 
 
 def _bwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, gz, gy, *, sh, sw,
                   interpret):
-    B, H, Wb, C = t.shape
-    kernel = functools.partial(_bwd_kernel_epi, sh=sh, sw=sw)
-    acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    acc_b = pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C), _mask_spec(C),
-                  _bspec(C), _bspec(C), _wspec(C), _bspec(C), _wspec(C),
-                  _map_spec(H, Wb, C), _map_spec(H, Wb, C)],
-        out_specs=(_map_spec(H, Wb, C), _map_spec(H, Wb, C), acc_b, acc_b,
-                   acc_w, acc_b, acc_w, acc_b),
-        out_shape=(
-            jax.ShapeDtypeStruct(t.shape, t.dtype),        # dt
-            jax.ShapeDtypeStruct(t.shape, t.dtype),        # dy_res
-            jax.ShapeDtypeStruct((1, C), jnp.float32),     # da
-            jax.ShapeDtypeStruct((1, C), jnp.float32),     # db
-            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dwh
-            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbh
-            jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dww
-            jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbw
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        cost_estimate=pl.CostEstimate(
-            flops=15 * 2 * H * Wb * C * C,
-            bytes_accessed=6 * H * Wb * C * t.dtype.itemsize
-            + 12 * C * C * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(t, y_res, m, av, bv, wh, bh, ww, gz, gy)
+    def call(t, y_res, m, av, bv, wh, bh, ww, gz, gy):
+        B, H, Wb, C = t.shape
+        kernel = functools.partial(_bwd_kernel_epi, sh=sh, sw=sw)
+        acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        acc_b = pl.BlockSpec((1, C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C),
+                      _mask_spec(C), _bspec(C), _bspec(C), _wspec(C),
+                      _bspec(C), _wspec(C), _map_spec(H, Wb, C),
+                      _map_spec(H, Wb, C)],
+            out_specs=(_map_spec(H, Wb, C), _map_spec(H, Wb, C), acc_b,
+                       acc_b, acc_w, acc_b, acc_w, acc_b),
+            out_shape=(
+                jax.ShapeDtypeStruct(t.shape, t.dtype),        # dt
+                jax.ShapeDtypeStruct(t.shape, t.dtype),        # dy_res
+                jax.ShapeDtypeStruct((1, C), jnp.float32),     # da
+                jax.ShapeDtypeStruct((1, C), jnp.float32),     # db
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dwh
+                jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbh
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),  # dww
+                jax.ShapeDtypeStruct((1, C), jnp.float32),     # dbw
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=15 * 2 * H * Wb * C * C,
+                bytes_accessed=6 * H * Wb * C * t.dtype.itemsize
+                + 12 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(t, y_res, m, av, bv, wh, bh, ww, gz, gy)
+
+    return spmd.shard_batch_call(
+        call, (True, True, True, False, False, False, False, False, True,
+               True),
+        reduce_out=(False, False) + (True,) * 6)(
+        t, y_res, m, av, bv, wh, bh, ww, gz, gy)
 
 
 @functools.lru_cache(maxsize=None)
@@ -748,4 +818,465 @@ def fused_pair_affine(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
         interpret = jax.default_backend() == "cpu"
     return _pair_affine_op(int(sh), int(sw), bool(interpret))(
         x, a.astype(jnp.float32), b.astype(jnp.float32), wh,
+        bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Stats-emitting variants: each kernel ALSO accumulates the batch
+# sum / sum-of-squares of its output across the batch grid (the next
+# BatchNorm's cross-batch statistics), and the backward folds the stats
+# cotangents (dz += gs1 + 2 z gs2) in-kernel.  Per BN this removes the
+# XLA full-map stats-reduction read in forward and the broadcast/mul/add
+# pass (plus its extra map reads) in backward — and under shard_map the
+# (1, C) accumulators psum over the data axis, which IS the cross-replica
+# global-batch BN semantics.
+# ---------------------------------------------------------------------------
+
+def _sspec(C):
+    return pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _stats_shapes(C):
+    return (jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32))
+
+
+def _fwd_kernel_st(x_ref, wh, bh, ww, bw, z_ref, s1_ref, s2_ref, *,
+                   sh, sw, lead_relu):
+    _fwd_kernel(x_ref, wh, bh, ww, bw, z_ref, sh=sh, sw=sw,
+                lead_relu=lead_relu)
+    _emit_stats(z_ref, s1_ref, s2_ref)
+
+
+def _bwd_kernel_st(x_ref, g_ref, z_ref, gs1, gs2, wh, bh, ww, dx_ref,
+                   dwh_ref, dbh_ref, dww_ref, dbw_ref, *, sh, sw,
+                   lead_relu):
+    b = pl.program_id(0)
+    x = x_ref[0]
+    g = _adjust_g(g_ref[0], z_ref, gs1, gs2)
+    H, Wb, C = x.shape
+    M = H * Wb
+    t0 = jax.nn.relu(x) if lead_relu else x
+    dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
+        t0, g, wh[:].astype(x.dtype), ww[:].astype(x.dtype),
+        bh[:].astype(jnp.float32), sh=sh, sw=sw)
+    if lead_relu:
+        dt0 = jnp.where(x.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
+    dx_ref[0] = dt0.reshape(H, Wb, C).astype(dx_ref.dtype)
+    first = b == 0
+    _acc(dwh_ref, dwh, first)
+    _acc(dbh_ref, dbh, first)
+    _acc(dww_ref, dww, first)
+    _acc(dbw_ref, dbw, first)
+
+
+def _fwd_call_st(x, wh, bh, ww, bw, *, sh, sw, lead_relu, interpret):
+    def call(x, wh, bh, ww, bw):
+        B, H, Wb, C = x.shape
+        kernel = functools.partial(_fwd_kernel_st, sh=sh, sw=sw,
+                                   lead_relu=lead_relu)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _wspec(C), _bspec(C), _wspec(C),
+                      _bspec(C)],
+            out_specs=(_map_spec(H, Wb, C), _sspec(C), _sspec(C)),
+            out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),)
+            + _stats_shapes(C),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * 2 * H * Wb * C * C,
+                bytes_accessed=2 * H * Wb * C * x.dtype.itemsize
+                + 6 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, wh, bh, ww, bw)
+
+    return spmd.shard_batch_call(
+        call, (True, False, False, False, False),
+        reduce_out=(False, True, True))(x, wh, bh, ww, bw)
+
+
+def _bwd_call_st(x, g, z, gs1, gs2, wh, bh, ww, *, sh, sw, lead_relu,
+                 interpret):
+    def call(x, g, z, gs1, gs2, wh, bh, ww):
+        B, H, Wb, C = x.shape
+        kernel = functools.partial(_bwd_kernel_st, sh=sh, sw=sw,
+                                   lead_relu=lead_relu)
+        acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        acc_b = pl.BlockSpec((1, C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C),
+                      _map_spec(H, Wb, C), _sspec(C), _sspec(C), _wspec(C),
+                      _bspec(C), _wspec(C)],
+            out_specs=(_map_spec(H, Wb, C), acc_w, acc_b, acc_w, acc_b),
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=15 * 2 * H * Wb * C * C,
+                bytes_accessed=4 * H * Wb * C * x.dtype.itemsize
+                + 12 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, g, z, gs1, gs2, wh, bh, ww)
+
+    return spmd.shard_batch_call(
+        call, (True, True, True, False, False, False, False, False),
+        reduce_out=(False, True, True, True, True))(
+        x, g, z, gs1, gs2, wh, bh, ww)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_op_st(sh: int, sw: int, lead_relu: bool, interpret: bool):
+    @jax.custom_vjp
+    def op(x, wh, bh, ww, bw):
+        return _fwd_call_st(x, wh, bh, ww, bw, sh=sh, sw=sw,
+                            lead_relu=lead_relu, interpret=interpret)
+
+    def fwd(x, wh, bh, ww, bw):
+        z, s1, s2 = _fwd_call_st(x, wh, bh, ww, bw, sh=sh, sw=sw,
+                                 lead_relu=lead_relu, interpret=interpret)
+        return (z, s1, s2), (x, wh, bh, ww, z)
+
+    def bwd(res, g):
+        x, wh, bh, ww, z = res
+        gz, gs1, gs2 = g
+        dx, dwh, dbh, dww, dbw = _bwd_call_st(
+            x, gz.astype(x.dtype), z, gs1.astype(jnp.float32),
+            gs2.astype(jnp.float32), wh, bh, ww, sh=sh, sw=sw,
+            lead_relu=lead_relu, interpret=interpret)
+        return (dx, dwh.astype(wh.dtype), dbh.reshape(-1).astype(bh.dtype),
+                dww.astype(ww.dtype), dbw.reshape(-1))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_pair_stats(x, wh, bh, ww, bw, *, sh: int, sw: int,
+                     lead_relu: bool = False,
+                     interpret: Optional[bool] = None):
+    """fused_pair that also returns the output's batch statistics:
+    (z, s1 (1, C) f32 sum, s2 (1, C) f32 sum-of-squares) for the following
+    BatchNorm (``bn_coeffs_from_sums``)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _pair_op_st(int(sh), int(sw), bool(lead_relu), bool(interpret))(
+        x, wh, bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
+
+
+def _fwd_kernel_affine_st(x_ref, av, bv, wh, bh, ww, bw, z_ref, s1_ref,
+                          s2_ref, *, sh, sw):
+    _fwd_kernel_affine(x_ref, av, bv, wh, bh, ww, bw, z_ref, sh=sh, sw=sw)
+    _emit_stats(z_ref, s1_ref, s2_ref)
+
+
+def _bwd_kernel_affine_st(x_ref, g_ref, z_ref, gs1, gs2, av, bv, wh, bh,
+                          ww, dx_ref, da_ref, db_ref, dwh_ref, dbh_ref,
+                          dww_ref, dbw_ref, *, sh, sw):
+    b = pl.program_id(0)
+    x = x_ref[0]
+    g = _adjust_g(g_ref[0], z_ref, gs1, gs2)
+    H, Wb, C = x.shape
+    M = H * Wb
+    ac = av[:].astype(x.dtype)
+    bc = bv[:].astype(x.dtype)
+    pre = x * ac + bc
+    t0 = jax.nn.relu(pre)
+    dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
+        t0, g, wh[:].astype(x.dtype), ww[:].astype(x.dtype),
+        bh[:].astype(jnp.float32), sh=sh, sw=sw)
+    dpre = jnp.where(pre.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
+    da = jnp.sum(dpre * x.reshape(M, C).astype(jnp.float32),
+                 axis=0).reshape(1, C)
+    db = jnp.sum(dpre, axis=0).reshape(1, C)
+    dx = dpre * av[:].reshape(1, C)
+    dx_ref[0] = dx.reshape(H, Wb, C).astype(dx_ref.dtype)
+    first = b == 0
+    _acc(da_ref, da, first)
+    _acc(db_ref, db, first)
+    _acc(dwh_ref, dwh, first)
+    _acc(dbh_ref, dbh, first)
+    _acc(dww_ref, dww, first)
+    _acc(dbw_ref, dbw, first)
+
+
+def _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, *, sh, sw, interpret):
+    def call(x, av, bv, wh, bh, ww, bw):
+        B, H, Wb, C = x.shape
+        kernel = functools.partial(_fwd_kernel_affine_st, sh=sh, sw=sw)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _bspec(C), _bspec(C), _wspec(C),
+                      _bspec(C), _wspec(C), _bspec(C)],
+            out_specs=(_map_spec(H, Wb, C), _sspec(C), _sspec(C)),
+            out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),)
+            + _stats_shapes(C),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * 2 * H * Wb * C * C,
+                bytes_accessed=2 * H * Wb * C * x.dtype.itemsize
+                + 6 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, av, bv, wh, bh, ww, bw)
+
+    return spmd.shard_batch_call(
+        call, (True,) + (False,) * 6,
+        reduce_out=(False, True, True))(x, av, bv, wh, bh, ww, bw)
+
+
+def _bwd_call_affine_st(x, g, z, gs1, gs2, av, bv, wh, bh, ww, *, sh, sw,
+                        interpret):
+    def call(x, g, z, gs1, gs2, av, bv, wh, bh, ww):
+        B, H, Wb, C = x.shape
+        kernel = functools.partial(_bwd_kernel_affine_st, sh=sh, sw=sw)
+        acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        acc_b = pl.BlockSpec((1, C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C),
+                      _map_spec(H, Wb, C), _sspec(C), _sspec(C), _bspec(C),
+                      _bspec(C), _wspec(C), _bspec(C), _wspec(C)],
+            out_specs=(_map_spec(H, Wb, C), acc_b, acc_b, acc_w, acc_b,
+                       acc_w, acc_b),
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=15 * 2 * H * Wb * C * C,
+                bytes_accessed=4 * H * Wb * C * x.dtype.itemsize
+                + 12 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, g, z, gs1, gs2, av, bv, wh, bh, ww)
+
+    return spmd.shard_batch_call(
+        call, (True, True, True) + (False,) * 7,
+        reduce_out=(False,) + (True,) * 6)(
+        x, g, z, gs1, gs2, av, bv, wh, bh, ww)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_affine_op_st(sh: int, sw: int, interpret: bool):
+    @jax.custom_vjp
+    def op(x, av, bv, wh, bh, ww, bw):
+        return _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, sh=sh, sw=sw,
+                                   interpret=interpret)
+
+    def fwd(x, av, bv, wh, bh, ww, bw):
+        z, s1, s2 = _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, sh=sh,
+                                        sw=sw, interpret=interpret)
+        return (z, s1, s2), (x, av, bv, wh, bh, ww, z)
+
+    def bwd(res, g):
+        x, av, bv, wh, bh, ww, z = res
+        gz, gs1, gs2 = g
+        dx, da, db, dwh, dbh, dww, dbw = _bwd_call_affine_st(
+            x, gz.astype(x.dtype), z, gs1.astype(jnp.float32),
+            gs2.astype(jnp.float32), av, bv, wh, bh, ww, sh=sh, sw=sw,
+            interpret=interpret)
+        return (dx, da.reshape(-1).astype(av.dtype),
+                db.reshape(-1).astype(bv.dtype), dwh.astype(wh.dtype),
+                dbh.reshape(-1).astype(bh.dtype), dww.astype(ww.dtype),
+                dbw.reshape(-1))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_pair_affine_stats(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
+                            interpret: Optional[bool] = None):
+    """fused_pair_affine that also returns (z, s1, s2) batch statistics."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _pair_affine_op_st(int(sh), int(sw), bool(interpret))(
+        x, a.astype(jnp.float32), b.astype(jnp.float32), wh,
+        bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
+
+
+def _fwd_kernel_epi_st(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, bw, z_ref,
+                       yout_ref, s1_ref, s2_ref, *, sh, sw):
+    _fwd_kernel_epi(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, bw, z_ref,
+                    yout_ref, sh=sh, sw=sw)
+    _emit_stats(z_ref, s1_ref, s2_ref)
+
+
+def _bwd_kernel_epi_st(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, gz_ref,
+                       gy_ref, z_ref, gs1, gs2, dt_ref, dyres_ref, da_ref,
+                       db_ref, dwh_ref, dbh_ref, dww_ref, dbw_ref, *,
+                       sh, sw):
+    b = pl.program_id(0)
+    t = t_ref[0]
+    y_res = y_ref[0]
+    gz = _adjust_g(gz_ref[0], z_ref, gs1, gs2)
+    gy = gy_ref[0]
+    H, Wb, C = t.shape
+    M = H * Wb
+    ac = av[:].astype(t.dtype)
+    bc = bv[:].astype(t.dtype)
+    mc = m_ref[0, 0].astype(t.dtype)
+    pre = (t * ac + bc) * mc + y_res
+    y_next = jax.nn.relu(pre)
+    dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
+        y_next, gz, wh[:].astype(t.dtype), ww[:].astype(t.dtype),
+        bh[:].astype(jnp.float32), sh=sh, sw=sw)
+    dt0 = dt0 + gy.reshape(M, C).astype(jnp.float32)
+    dsum = jnp.where(pre.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
+    dyres_ref[0] = dsum.reshape(H, Wb, C).astype(dyres_ref.dtype)
+    dpre2 = dsum * m_ref[0]
+    da = jnp.sum(dpre2 * t.reshape(M, C).astype(jnp.float32),
+                 axis=0).reshape(1, C)
+    db = jnp.sum(dpre2, axis=0).reshape(1, C)
+    dt = dpre2 * av[:].reshape(1, C)
+    dt_ref[0] = dt.reshape(H, Wb, C).astype(dt_ref.dtype)
+    first = b == 0
+    _acc(da_ref, da, first)
+    _acc(db_ref, db, first)
+    _acc(dwh_ref, dwh, first)
+    _acc(dbh_ref, dbh, first)
+    _acc(dww_ref, dww, first)
+    _acc(dbw_ref, dbw, first)
+
+
+def _fwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw,
+                     interpret):
+    def call(t, y_res, m, av, bv, wh, bh, ww, bw):
+        B, H, Wb, C = t.shape
+        kernel = functools.partial(_fwd_kernel_epi_st, sh=sh, sw=sw)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C),
+                      _mask_spec(C), _bspec(C), _bspec(C), _wspec(C),
+                      _bspec(C), _wspec(C), _bspec(C)],
+            out_specs=(_map_spec(H, Wb, C), _map_spec(H, Wb, C), _sspec(C),
+                       _sspec(C)),
+            out_shape=(jax.ShapeDtypeStruct(t.shape, t.dtype),
+                       jax.ShapeDtypeStruct(t.shape, t.dtype))
+            + _stats_shapes(C),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * 2 * H * Wb * C * C,
+                bytes_accessed=4 * H * Wb * C * t.dtype.itemsize
+                + 6 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(t, y_res, m, av, bv, wh, bh, ww, bw)
+
+    return spmd.shard_batch_call(
+        call, (True, True, True) + (False,) * 6,
+        reduce_out=(False, False, True, True))(
+        t, y_res, m, av, bv, wh, bh, ww, bw)
+
+
+def _bwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2,
+                     *, sh, sw, interpret):
+    def call(t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2):
+        B, H, Wb, C = t.shape
+        kernel = functools.partial(_bwd_kernel_epi_st, sh=sh, sw=sw)
+        acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        acc_b = pl.BlockSpec((1, C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C),
+                      _mask_spec(C), _bspec(C), _bspec(C), _wspec(C),
+                      _bspec(C), _wspec(C), _map_spec(H, Wb, C),
+                      _map_spec(H, Wb, C), _map_spec(H, Wb, C), _sspec(C),
+                      _sspec(C)],
+            out_specs=(_map_spec(H, Wb, C), _map_spec(H, Wb, C), acc_b,
+                       acc_b, acc_w, acc_b, acc_w, acc_b),
+            out_shape=(
+                jax.ShapeDtypeStruct(t.shape, t.dtype),
+                jax.ShapeDtypeStruct(t.shape, t.dtype),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((3, C, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=15 * 2 * H * Wb * C * C,
+                bytes_accessed=7 * H * Wb * C * t.dtype.itemsize
+                + 12 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2)
+
+    return spmd.shard_batch_call(
+        call, (True, True, True, False, False, False, False, False, True,
+               True, True, False, False),
+        reduce_out=(False, False) + (True,) * 6)(
+        t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_epi_op_st(sh: int, sw: int, interpret: bool):
+    @jax.custom_vjp
+    def op(t, y_res, m, av, bv, wh, bh, ww, bw):
+        return _fwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, bw, sh=sh,
+                                sw=sw, interpret=interpret)
+
+    def fwd(t, y_res, m, av, bv, wh, bh, ww, bw):
+        z, y_next, s1, s2 = _fwd_call_epi_st(
+            t, y_res, m, av, bv, wh, bh, ww, bw, sh=sh, sw=sw,
+            interpret=interpret)
+        return (z, y_next, s1, s2), (t, y_res, m, av, bv, wh, bh, ww, z)
+
+    def bwd(res, g):
+        t, y_res, m, av, bv, wh, bh, ww, z = res
+        gz, gy, gs1, gs2 = g
+        dt, dyres, da, db, dwh, dbh, dww, dbw = _bwd_call_epi_st(
+            t, y_res, m, av, bv, wh, bh, ww, gz.astype(t.dtype),
+            gy.astype(t.dtype), z, gs1.astype(jnp.float32),
+            gs2.astype(jnp.float32), sh=sh, sw=sw, interpret=interpret)
+        return (dt, dyres, jnp.zeros_like(m),
+                da.reshape(-1).astype(av.dtype),
+                db.reshape(-1).astype(bv.dtype), dwh.astype(wh.dtype),
+                dbh.reshape(-1).astype(bh.dtype), dww.astype(ww.dtype),
+                dbw.reshape(-1))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_pair_epi_stats(t, y_res, m, a, b, wh, bh, ww, bw, *, sh: int,
+                         sw: int, interpret: Optional[bool] = None):
+    """fused_pair_epi that also returns (z, y_next, s1, s2)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m3 = m.astype(jnp.float32).reshape(m.shape[0], 1, m.shape[1])
+    return _pair_epi_op_st(int(sh), int(sw), bool(interpret))(
+        t, y_res, m3, a.astype(jnp.float32), b.astype(jnp.float32), wh,
         bh.astype(jnp.float32), ww, bw.astype(jnp.float32))

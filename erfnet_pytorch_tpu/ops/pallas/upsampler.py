@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...parallel import spmd
+
 
 @functools.lru_cache(maxsize=None)
 def _ups_placement(pi: int, po: int):
@@ -155,6 +157,12 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 
 
 def _call_fwd(x, K, bias, *, interpret):
+    return spmd.shard_batch_call(
+        functools.partial(_call_fwd_local, interpret=interpret),
+        (True, False, False))(x, K, bias)
+
+
+def _call_fwd_local(x, K, bias, *, interpret):
     B, H, Wb, Ci = x.shape
     Chm, Co = K.shape[3], K.shape[4]
     Wbo = (H * Wb * Ci) // (H * Chm)
@@ -183,6 +191,13 @@ def _call_fwd(x, K, bias, *, interpret):
 
 
 def _call_bwd(x, g, K, *, interpret):
+    dx, dK, db = spmd.shard_batch_call(
+        functools.partial(_call_bwd_local, interpret=interpret),
+        (True, True, False), reduce_out=(False, True, True))(x, g, K)
+    return dx, dK, db.reshape(-1)
+
+
+def _call_bwd_local(x, g, K, *, interpret):
     B, H, Wb, Ci = x.shape
     Chm, Co = K.shape[3], K.shape[4]
     Wbo = (H * Wb * Ci) // (H * Chm)
@@ -216,7 +231,7 @@ def _call_bwd(x, g, K, *, interpret):
             transcendentals=0),
         interpret=interpret,
     )(x, g.reshape(B, H, 2, Wbo, Co), K)
-    return dx, dK, db.reshape(-1)
+    return dx, dK, db
 
 
 @functools.lru_cache(maxsize=None)
@@ -261,4 +276,5 @@ def ups_packed_supported(x_shape, pi: int, po: int) -> bool:
     half = po // 2
     return (ci % 128 == 0 and half % pi == 0
             and (wb * pi * 2) % po == 0
-            and h * wb * ci <= 2 * 1024 * 1024)
+            and h * wb * ci <= 2 * 1024 * 1024
+            and b % spmd.data_shards() == 0)

@@ -1,0 +1,110 @@
+"""SPMD execution of batch-grid Pallas kernels via ``shard_map``.
+
+The reference's one parallelism contract is DataParallel (SURVEY.md §2b):
+same math, bigger batch.  The XLA parts of the train step shard
+automatically under jit + NamedSharding, but ``pallas_call`` has no SPMD
+partitioning rule — without help, a multi-device mesh either fails to
+partition or gathers the full batch onto every chip.  This module closes
+that gap: training code registers the active mesh here, and every
+batch-grid kernel call wraps itself in ``jax.shard_map`` over the mesh's
+``data`` axis:
+
+  * batch-leading operands shard over ``data``; weights replicate;
+  * batch-shaped outputs come back sharded;
+  * cross-batch accumulator outputs (weight grads, loss num/den) are
+    computed per-shard by the kernel's batch-grid revisiting and
+    ``psum``-reduced over ``data`` inside the shard_map body — exactly
+    the gradient all-reduce XLA inserts for the matmul fallback path.
+
+Everything between kernels (BatchNorm statistics, loss normalization,
+optimizer) stays in ordinary jit-traced XLA, where reductions over the
+sharded batch axis remain GLOBAL collectives — cross-replica BN semantics
+are unchanged from the non-fused path.
+
+With no mesh registered (the single-chip default) every wrapper is an
+identity and the kernels run exactly as before.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+_STATE = {"mesh": None, "axis": "data"}
+
+
+def set_mesh(mesh: Optional[Mesh], axis: str = "data") -> None:
+    """Register (or clear, with None) the mesh Pallas kernels shard over.
+
+    Call once when setting up data-parallel training/eval; the per-call
+    wrapping is a trace-time decision, so re-jitting after a change picks
+    it up (the step makers build fresh jitted callables anyway).
+    """
+    _STATE["mesh"] = mesh
+    _STATE["axis"] = axis
+
+
+@contextmanager
+def pallas_mesh(mesh: Optional[Mesh], axis: str = "data"):
+    old = (_STATE["mesh"], _STATE["axis"])
+    set_mesh(mesh, axis)
+    try:
+        yield
+    finally:
+        set_mesh(*old)
+
+
+def active() -> Tuple[Optional[Mesh], Optional[str]]:
+    """(mesh, axis) when a >1-way data mesh is registered, else (None, None)."""
+    mesh = _STATE["mesh"]
+    if mesh is None:
+        return None, None
+    axis = _STATE["axis"]
+    if mesh.shape.get(axis, 1) <= 1:
+        return None, None
+    return mesh, axis
+
+
+def data_shards() -> int:
+    """Number of ways the batch axis is sharded (1 when no mesh is active).
+
+    Kernel ``*_supported`` eligibility checks divide their batch/row counts
+    by this so they validate the PER-SHARD shapes the kernels will see."""
+    mesh, axis = active()
+    return 1 if mesh is None else mesh.shape[axis]
+
+
+def shard_batch_call(call: Callable, batch_in: Sequence[bool],
+                     reduce_out: Optional[Sequence[bool]] = None) -> Callable:
+    """Wrap a Pallas-call builder for SPMD over the registered mesh.
+
+    ``call(*args)`` must build its grid/out_shape from its operands' shapes
+    (they are per-shard inside shard_map).  ``batch_in[i]``: operand i is
+    batch-leading (sharded over ``data``); otherwise replicated.
+    ``reduce_out``: None = single batch-sharded output; else one flag per
+    tuple output — True marks a cross-batch accumulator that is
+    psum-reduced and returned replicated, False a batch-sharded output.
+
+    Identity when no mesh is registered.
+    """
+    mesh, axis = active()
+    if mesh is None:
+        return call
+    in_specs = tuple(P(axis) if b else P() for b in batch_in)
+    if reduce_out is None:
+        out_specs: object = P(axis)
+        inner = call
+    else:
+        flags = tuple(reduce_out)
+        out_specs = tuple(P() if r else P(axis) for r in flags)
+
+        def inner(*args):
+            outs = call(*args)
+            return tuple(jax.lax.psum(o, axis) if r else o
+                         for o, r in zip(outs, flags))
+
+    return jax.shard_map(inner, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)

@@ -1,0 +1,135 @@
+"""Multi-device fused Pallas kernels (parallel/spmd.py).
+
+The reference's DataParallel contract (SURVEY.md §2b) is "same math,
+bigger batch".  Round 1 hard-disabled the fused train/eval kernels on any
+multi-device config; these tests pin the round-2 fix: every batch-grid
+kernel runs through ``shard_map`` over the registered mesh's data axis and
+the 8-way sharded fused step equals both the single-device fused step and
+the XLA fallback math (interpret-mode kernels on the fake CPU mesh).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from erfnet_pytorch_tpu.models import erfnet
+from erfnet_pytorch_tpu.parallel import spmd
+from erfnet_pytorch_tpu.parallel.mesh import (make_mesh, replicate,
+                                              shard_batch)
+from erfnet_pytorch_tpu.ops.pallas.nb1d_train import (fused_pair,
+                                                      fused_train,
+                                                      pair_reference)
+from erfnet_pytorch_tpu.training import optim
+from erfnet_pytorch_tpu.training.steps import (create_train_state,
+                                               make_train_step,
+                                               make_eval_step)
+from erfnet_pytorch_tpu.training.class_weights import DECODER_WEIGHTS
+
+
+def _tiny_batch(b=16, h=32, w=64, seed=0):
+    rng = np.random.RandomState(seed)
+    images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (b, h, w)).astype(np.int32))
+    return images, labels
+
+
+def test_sharded_fused_pair_matches_reference():
+    """Op level: shard_map'd fused_pair == jnp oracle, values and all five
+    gradients (dx sharded; dW/db psum-reduced partials)."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    B, H, Wb, C = 8, 8, 16, 128
+    x = jax.random.normal(ks[0], (B, H, Wb, C))
+    wh = jax.random.normal(ks[1], (3, C, C)) * 0.05
+    ww = jax.random.normal(ks[2], (3, C, C)) * 0.05
+    bh = jax.random.normal(ks[3], (C,))
+    bw = jax.random.normal(ks[4], (C,))
+    mesh = make_mesh(8)
+    with spmd.pallas_mesh(mesh):
+        xs = shard_batch(mesh, x)
+        f = lambda *a: fused_pair(*a, sh=2, sw=2, lead_relu=True)
+        z, vjp_f = jax.vjp(f, xs, wh, bh, ww, bw)
+    r = lambda *a: pair_reference(*a, sh=2, sw=2, lead_relu=True)
+    z_ref, vjp_r = jax.vjp(r, x, wh, bh, ww, bw)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.random.normal(jax.random.PRNGKey(9), z.shape)
+    with spmd.pallas_mesh(mesh):
+        got = vjp_f(shard_batch(mesh, g))
+    for gt, ref, name in zip(got, vjp_r(g), "x wh bh ww bw".split()):
+        np.testing.assert_allclose(
+            np.asarray(gt), np.asarray(ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"sharded grad mismatch for {name}")
+
+
+def _run_full_step(images, labels, *, fused, mesh=None):
+    tx = optim.make_adam(1e-3)
+    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    with fused_train(fused), spmd.pallas_mesh(mesh):
+        step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                               augment=False)
+        if mesh is not None:
+            ts = replicate(mesh, ts)
+            images = shard_batch(mesh, images)
+            labels = shard_batch(mesh, labels)
+        ts, loss = step(ts, images, labels, jax.random.PRNGKey(1))
+        loss = float(jax.block_until_ready(loss))
+    return ts, loss
+
+
+def test_sharded_fused_step_matches_single_and_xla():
+    """Full train step at fused-eligible shapes: 8-way sharded fused ==
+    single-device fused == XLA fallback (loss, params, GLOBAL BN stats)."""
+    images, labels = _tiny_batch()
+    ts_xla, loss_xla = _run_full_step(images, labels, fused=False)
+    ts_f1, loss_f1 = _run_full_step(images, labels, fused=True)
+    ts_f8, loss_f8 = _run_full_step(images, labels, fused=True,
+                                    mesh=make_mesh(8))
+
+    assert abs(loss_f1 - loss_xla) < 1e-4
+    assert abs(loss_f8 - loss_f1) < 1e-4
+    for ts_got, tag in ((ts_f1, "fused-1dev"), (ts_f8, "fused-8dev")):
+        for path in (("decoder", "output_conv", "w"),
+                     ("encoder", "initial_block", "conv", "w")):
+            a, b = ts_got.params, ts_xla.params
+            for k in path:
+                a, b = a[k], b[k]
+            diff = np.abs(np.asarray(a) - np.asarray(b))
+            # max bound 2*lr: an element whose gradient is f32-noise-level
+            # gets a sign-flipped Adam step (update ~ lr*sign(g)) under
+            # ANY reordered-but-valid accumulation; the tight mean bound
+            # is what catches a real math difference
+            assert diff.max() < 2.2e-3, \
+                f"{tag} param mismatch at {'/'.join(path)}: {diff.max():.2e}"
+            assert diff.mean() < 1e-4, \
+                f"{tag} param drift at {'/'.join(path)}: {diff.mean():.2e}"
+        # BN stats must be GLOBAL-batch statistics in every configuration
+        for layer in (0, 7):
+            a = ts_got.batch_stats["encoder"]["layers"][layer]
+            b = ts_xla.batch_stats["encoder"]["layers"][layer]
+            key = "bn" if "bn" in a else "bn1"
+            np.testing.assert_allclose(
+                np.asarray(a[key]["mean"]), np.asarray(b[key]["mean"]),
+                rtol=1e-4, atol=1e-6,
+                err_msg=f"{tag} BN stats diverge at encoder layer {layer}")
+
+
+def test_sharded_fused_eval_step_matches_xla():
+    """Eval step (fused head+loss+argmax) under the 8-way mesh == XLA."""
+    images, labels = _tiny_batch(seed=3)
+    tx = optim.make_adam(1e-3)
+    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+
+    ev_xla = make_eval_step(erfnet, DECODER_WEIGHTS, enc=False)
+    loss_ref, preds_ref, _ = ev_xla(ts, images, labels)
+
+    mesh = make_mesh(8)
+    with fused_train(True), spmd.pallas_mesh(mesh):
+        ev = make_eval_step(erfnet, DECODER_WEIGHTS, enc=False)
+        tsm = replicate(mesh, ts)
+        loss, preds, _ = ev(tsm, shard_batch(mesh, images),
+                            shard_batch(mesh, labels))
+        loss = float(loss)
+    assert abs(loss - float(loss_ref)) < 1e-4
+    np.testing.assert_array_equal(np.asarray(preds), np.asarray(preds_ref))
