@@ -25,7 +25,10 @@ from .ops.pallas.nb1d import (fuse_nb1d_params, nb1d_infer,
                               nb1d_infer_packed, nb1d_stack_infer,
                               stack_nb1d_params, nb1d_infer_chunked,
                               nb1d_infer_packed_chunked,
-                              nb1d_chunk_supported)
+                              nb1d_chunk_supported,
+                              nb1d_infer_blocked,
+                              nb1d_infer_packed_blocked,
+                              nb1d_blocked_supported)
 from .ops.packed import pack_nb1d_for_pallas
 from .ops.argmax import fast_argmax
 from .ops.convt_mm import (build_upsampler_matmul, apply_upsampler_matmul,
@@ -170,9 +173,16 @@ def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
             if mode == "plain" and _eligible(x.shape, 1):
                 return (nb1d_infer(x.astype(dtype), payload, dilated=d,
                                    interpret=interpret), state)
+            if mode == "plain" and nb1d_blocked_supported(x.shape, 1, d,
+                                                          _MAX_MAP_ELEMS):
+                # big map (e.g. 1024x2048 streaming): ONE h-blocked halo
+                # kernel (grid (B, H/R), clamped overlapping DMA windows)
+                return (nb1d_infer_blocked(x.astype(dtype), payload,
+                                           dilated=d,
+                                           max_elems=_MAX_MAP_ELEMS,
+                                           interpret=interpret), state)
             if mode == "plain" and nb1d_chunk_supported(x.shape, 1, d,
                                                         _MAX_MAP_ELEMS):
-                # big map (e.g. 1024x2048 streaming): H-chunked windows
                 return (nb1d_infer_chunked(x.astype(dtype), payload,
                                            dilated=d,
                                            max_elems=_MAX_MAP_ELEMS,
@@ -183,6 +193,11 @@ def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
                     return (nb1d_infer_packed(x.astype(dtype), weights, p=p,
                                               dilated=d, s2=s2, s4=s4,
                                               interpret=interpret), state)
+                if nb1d_blocked_supported(x.shape, p, d, _MAX_MAP_ELEMS):
+                    return (nb1d_infer_packed_blocked(
+                        x.astype(dtype), weights, p=p, dilated=d, s2=s2,
+                        s4=s4, max_elems=_MAX_MAP_ELEMS,
+                        interpret=interpret), state)
                 if nb1d_chunk_supported(x.shape, p, d, _MAX_MAP_ELEMS):
                     return (nb1d_infer_packed_chunked(
                         x.astype(dtype), weights, p=p, dilated=d, s2=s2,

@@ -240,6 +240,124 @@ def nb1d_chunk_supported(shape, p: int, dilated: int, max_elems: int):
             _h_chunks(h, w * c, 1 + dilated, max_elems) > 0)
 
 
+def _blocked_rows(H, W_elems, halo, max_elems):
+    """Kept rows R per h-block for the blocked kernel: the (R + 2*halo)-row
+    window must fit the VMEM-map budget, R % 8 == 0, and R must divide H
+    (uniform output blocks).  0 when no such R exists."""
+    R = min(H, max_elems // W_elems - 2 * halo)
+    R -= R % 8
+    while R >= 8 and H % R:
+        R -= 8
+    return max(R, 0)
+
+
+def _nb1d_blocked_kernel(x_hbm, w1, b1, w2, b2, w3, b3, w4, b4, out_ref,
+                         scratch, sem, *, s1, s2, s3, s4, R, Rw, halo,
+                         H, W, C):
+    """One program = one (image, h-block): DMA the CLAMPED overlapping
+    window [w_s, w_s + Rw) from HBM, run the whole 4-conv block on it, and
+    write the R kept rows.  Row correctness argument is `_run_h_chunked`'s:
+    a row is exact iff its distance to each window edge is >= halo (the
+    block's H receptive radius) OR that edge is the true map edge, where
+    the kernel's zero-fill IS the conv padding.  (Never zero-PAD the input
+    instead — pad rows produce relu(bias) != 0 intermediates that corrupt
+    the true edge rows.)"""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    s = j * R
+    w_s = jnp.clip(s - halo, 0, H - Rw)
+    dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(w_s, Rw)], scratch, sem)
+    dma.start()
+    dma.wait()
+    x = scratch[:]                                  # (Rw, W, C)
+    xf = x.reshape(Rw * W, C)
+    t = _taps_h(xf, w1[:], s1, W, True, b1[:])
+    t = _taps_w(t.reshape(Rw, W, C).astype(x.dtype), w2[:], s2, Rw, W, C,
+                True, b2[:])
+    t = _taps_h(t.reshape(Rw * W, C).astype(x.dtype), w3[:], s3, W, True,
+                b3[:])
+    t = _taps_w(t.reshape(Rw, W, C).astype(x.dtype), w4[:], s4, Rw, W, C,
+                False, b4[:])
+    y = jax.nn.relu(t + x.astype(jnp.float32)).astype(out_ref.dtype)
+    # x is dead; reuse the scratch window for the dynamic-offset row read
+    scratch[:] = y
+    out_ref[0] = scratch[pl.ds(s - w_s, R)]
+
+
+def _nb1d_blocked_call(x, fused, *, shifts, R, halo, interpret):
+    B, H, W, C = x.shape
+    nH = H // R
+    Rw = min(H, R + 2 * halo)
+    s1, s2, s3, s4 = shifts
+    kernel = functools.partial(_nb1d_blocked_kernel, s1=s1, s2=s2, s3=s3,
+                               s4=s4, R=R, Rw=Rw, halo=halo, H=H, W=W, C=C)
+    wspec = pl.BlockSpec((3, C, C), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((C,), lambda b, j: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # whole map stays in HBM
+            wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec,
+        ],
+        out_specs=pl.BlockSpec((1, R, W, C), lambda b, j: (b, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Rw, W, C), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * 2 * H * W * C * C * Rw // R,
+            bytes_accessed=(Rw * nH + H) * W * C * x.dtype.itemsize
+            + 12 * C * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, fused["w1"], fused["b1"], fused["w2"], fused["b2"],
+      fused["w3"], fused["b3"], fused["w4"], fused["b4"])
+
+
+@functools.partial(jax.jit, static_argnames=("dilated", "max_elems",
+                                             "interpret"))
+def nb1d_infer_blocked(x, fused, *, dilated: int, max_elems: int,
+                       interpret: bool = False):
+    """Big-map NB1d as ONE h-blocked halo kernel (vs nb1d_infer_chunked's
+    per-window pallas_calls + XLA slices/concat: each of those costs the
+    chip's ~20-30 us fixed per-op overhead and re-touches HBM)."""
+    B, H, W, C = x.shape
+    halo = 1 + dilated
+    R = _blocked_rows(H, W * C, halo, max_elems)
+    assert R, (x.shape, dilated)
+    return _nb1d_blocked_call(x, fused, shifts=(1, 1, dilated, dilated),
+                              R=R, halo=halo, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "dilated", "s2", "s4",
+                                             "max_elems", "interpret"))
+def nb1d_infer_packed_blocked(x, packed_w, *, p: int, dilated: int, s2: int,
+                              s4: int, max_elems: int,
+                              interpret: bool = False):
+    """Packed-layout h-blocked halo kernel (W-packing keeps H shifts as
+    plain row shifts, so the halo is unchanged)."""
+    B, H, W, C = x.shape
+    X = x.reshape(B, H, W // p, p * C)
+    halo = 1 + dilated
+    R = _blocked_rows(H, (W // p) * p * C, halo, max_elems)
+    assert R, (x.shape, p, dilated)
+    out = _nb1d_blocked_call(X, packed_w, shifts=(1, s2, dilated, s4),
+                             R=R, halo=halo, interpret=interpret)
+    return out.reshape(B, H, W, C)
+
+
+def nb1d_blocked_supported(shape, p: int, dilated: int, max_elems: int):
+    b, h, w, c = shape
+    return (w % p == 0 and (c * p) % 128 == 0 and
+            _blocked_rows(h, w * c, 1 + dilated, max_elems) > 0)
+
+
 def _nb1d_stack_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref, *,
                        dils, H: int, W: int, C: int):
     """K sequential NB1d blocks, all VMEM-resident: one HBM read, one write

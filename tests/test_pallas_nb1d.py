@@ -107,3 +107,48 @@ def test_nb1d_packed_chunked_matches_whole_map():
                                     max_elems=(8 + 2 * (1 + d) + 6)
                                     * 32 * 64)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_nb1d_blocked_matches_whole_map():
+    """The single-call h-blocked halo kernel (grid (B, H/R), clamped
+    overlapping DMA windows) must be bit-identical to the whole-map
+    kernel — same correctness argument as the chunked form, but one
+    pallas_call instead of per-window calls + XLA slices/concat."""
+    import jax
+    from erfnet_pytorch_tpu.ops.pallas.nb1d import (
+        fuse_nb1d_params, nb1d_infer, nb1d_infer_blocked, _blocked_rows)
+
+    from erfnet_pytorch_tpu.models.erfnet import init_non_bottleneck_1d
+
+    for d in (1, 4, 16):
+        params, state = init_non_bottleneck_1d(jax.random.PRNGKey(d), 128)
+        fused = fuse_nb1d_params(params, state)
+        x = jax.random.normal(jax.random.PRNGKey(d + 10), (2, 48, 16, 128))
+        max_elems = (16 + 2 * (1 + d) + 8) * 16 * 128
+        R = _blocked_rows(48, 16 * 128, 1 + d, max_elems)
+        assert R and 48 % R == 0 and R < 48  # really multi-block
+        ref = nb1d_infer(x, fused, dilated=d, interpret=True)
+        out = nb1d_infer_blocked(x, fused, dilated=d, interpret=True,
+                                 max_elems=max_elems)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_nb1d_packed_blocked_matches_whole_map():
+    import jax
+    from erfnet_pytorch_tpu.ops.pallas.nb1d import (
+        fuse_nb1d_params, nb1d_infer_packed, nb1d_infer_packed_blocked)
+    from erfnet_pytorch_tpu.ops.packed import pack_nb1d_for_pallas
+    from erfnet_pytorch_tpu.models.erfnet import init_non_bottleneck_1d
+
+    p, d = 2, 1
+    params, state = init_non_bottleneck_1d(jax.random.PRNGKey(0), 64)
+    fused = fuse_nb1d_params(params, state)
+    weights, s2, s4 = pack_nb1d_for_pallas(fused, p, d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 32, 64))
+    ref = nb1d_infer_packed(x, weights, p=p, dilated=d, s2=s2, s4=s4,
+                            interpret=True)
+    out = nb1d_infer_packed_blocked(x, weights, p=p, dilated=d, s2=s2,
+                                    s4=s4, interpret=True,
+                                    max_elems=(8 + 2 * (1 + d) + 6)
+                                    * 16 * 128)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
