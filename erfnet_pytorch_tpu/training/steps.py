@@ -86,6 +86,7 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
     """
     import inspect
 
+    assert multi_step == 1 or flat, "multi_step > 1 requires flat=True"
     cw = jnp.asarray(class_weights)
     ncls = int(cw.shape[0])
     head_op = None
@@ -129,6 +130,20 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
                                pack_labels_2x2(labels))
         return num / jnp.maximum(den, 1e-12)
 
+    def freeze_unused(updates):
+        """Reference parity: in full-net (stage-2) training the encoder's
+        1x1 prediction head never receives gradients — torch's Adam skips
+        ``grad is None`` params entirely, so the reference neither updates
+        NOR weight-decays it (train/main.py stage 2).  optax's
+        add_decayed_weights would otherwise decay it to zero."""
+        if enc or "encoder" not in updates \
+                or "output_conv" not in updates["encoder"]:
+            return updates
+        head = jax.tree_util.tree_map(jnp.zeros_like,
+                                      updates["encoder"]["output_conv"])
+        return {**updates,
+                "encoder": {**updates["encoder"], "output_conv": head}}
+
     def loss_fn(params, batch_stats, images, labels, rng):
         from ..ops.pallas.head_loss import head_loss_supported
         from ..ops.pallas.nb1d_train import fused_train_enabled
@@ -167,7 +182,7 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
                                        labels, rng)
             updates, opt_state = optimizer.update(grads, ts.opt_state,
                                                   ts.params)
-            params = optax.apply_updates(ts.params, updates)
+            params = optax.apply_updates(ts.params, freeze_unused(updates))
             new_ts = TrainState(params, new_stats, opt_state, ts.step + 1)
             if with_pred:
                 return new_ts, loss, fast_argmax(logits), labels
@@ -196,6 +211,11 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         # optax component storing a coincidentally param-count-long vector)
         cell["raveled"] = jax.tree_util.tree_map(is_ptree, ts.opt_state,
                                                  is_leaf=is_ptree)
+        # flat view of freeze_unused: 0.0 over the unused encoder head
+        ones = jax.tree_util.tree_map(jnp.ones_like, ts.params)
+        masked = freeze_unused(ones)
+        cell["mask"] = (None if masked is ones
+                        else ravel_pytree(masked)[0])
         return FlatState(flat_params, ts.batch_stats, opt_state, ts.step)
 
     def unflatten(fts: FlatState) -> TrainState:
@@ -218,6 +238,8 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         flat_grads = ravel_pytree(grads)[0]  # one concat (same leaf order)
         updates, opt_state = optimizer.update(flat_grads, fts.opt_state,
                                               fts.flat_params)
+        if cell["mask"] is not None:
+            updates = updates * cell["mask"]
         flat_params = optax.apply_updates(fts.flat_params, updates)
         new_fts = FlatState(flat_params, new_stats, opt_state, fts.step + 1)
         if with_pred:

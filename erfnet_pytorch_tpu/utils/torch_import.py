@@ -45,8 +45,15 @@ def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
 
 
 def state_dict_from_module(module) -> Dict[str, np.ndarray]:
-    """Test helper: torch nn.Module -> {name: np.ndarray}."""
-    return {k: v.detach().cpu().numpy()
+    """Test helper: torch nn.Module -> {name: np.ndarray}.
+
+    COPIES each tensor: ``.numpy()`` alone returns a view of the live
+    torch storage, and ``jnp.asarray`` on CPU is zero-copy — without the
+    copy, jax arrays alias the module's parameters/BN buffers, and a torch
+    forward/optimizer step mutates them WHILE asynchronously-dispatched
+    jax computations still read them (observed: doubled BN running stats,
+    nondeterministic losses in side-by-side parity tests)."""
+    return {k: v.detach().cpu().numpy().copy()
             for k, v in module.state_dict().items()}
 
 
