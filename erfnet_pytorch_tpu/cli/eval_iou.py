@@ -67,7 +67,10 @@ def main(argv=None):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         use_pallas=resolve_use_pallas(args.pallas), preds_only=True)
 
-    ds = CityscapesDataset(args.datadir, args.subset, height=args.height)
+    # explicit (h, w): the reference eval resize is Resize((512, 1024)) —
+    # exact, not aspect-derived (eval/eval_iou.py:≈30)
+    ds = CityscapesDataset(args.datadir, args.subset,
+                           size=(args.height, 2 * args.height))
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers,
                     pad_final=True)
     ev = IouEval(NUM_CLASSES)

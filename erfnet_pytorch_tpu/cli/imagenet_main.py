@@ -26,6 +26,7 @@ from ..data.imagenet import ImageFolderDataset, IMAGENET_MEAN, IMAGENET_STD
 from ..data.loader import DataLoader
 from ..models import erfnet_imagenet
 from ..ops.loss import cross_entropy
+from ..parallel import spmd
 from ..parallel.mesh import make_mesh_for_batch, batch_sharding, replicate
 from ..training import optim
 from ..training.checkpoint import (save_checkpoint_file, load_checkpoint_file,
@@ -144,7 +145,15 @@ def main(argv=None):
     os.makedirs(args.savedir, exist_ok=True)
     compute_dtype = jnp.bfloat16 if args.bf16 else None
 
-    mesh = make_mesh_for_batch(args.batch_size)
+    # no void-label masking exists in the CE recipe, so shrink
+    # rather than pad (padded rows would bias the loss)
+    mesh = make_mesh_for_batch(args.batch_size, allow_pad=False)
+    # scoped mesh registration: the fused Pallas kernels shard over it
+    with spmd.pallas_mesh(mesh):
+        return _run(args, mesh, compute_dtype)
+
+
+def _run(args, mesh, compute_dtype):
     bsh = batch_sharding(mesh)
     optimizer = optim.make_sgd(args.lr, args.momentum, args.weight_decay)
     params, batch_stats = erfnet_imagenet.init(jax.random.PRNGKey(0),

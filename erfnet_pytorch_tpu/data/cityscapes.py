@@ -46,11 +46,20 @@ class CityscapesDataset:
     """
 
     def __init__(self, root: str, subset: str = "train",
-                 height: Optional[int] = 512, target_height: Optional[int] = None):
+                 height: Optional[int] = 512,
+                 target_height: Optional[int] = None,
+                 size: Optional[Tuple[int, int]] = None):
+        """``size=(h, w)``: resize to EXACTLY (h, w) — the reference eval
+        pipeline's unconditional ``Resize((512, 1024))``
+        (eval/eval_iou.py:≈30).  ``height`` alone keeps the input aspect
+        ratio (identical on 2:1 Cityscapes frames, different on anything
+        else)."""
         self.root = root
         self.subset = subset
-        self.height = height
-        self.target_height = target_height if target_height is not None else height
+        self.height = size[0] if size is not None else height
+        self.size = size
+        self.target_height = target_height if target_height is not None \
+            else self.height
         self.images_root = os.path.join(root, "leftImg8bit", subset)
         self.labels_root = os.path.join(root, "gtFine", subset)
         if not os.path.isdir(self.images_root):
@@ -72,6 +81,8 @@ class CityscapesDataset:
     @property
     def native_size(self):
         """(h, w) for the native C++ loader (Cityscapes frames are 2:1)."""
+        if self.size is not None:
+            return self.size
         if self.height is None:
             return None
         return (self.height, self.height * 2)
@@ -93,7 +104,10 @@ class CityscapesDataset:
         rel = self.filenames[idx]
         with load_image(os.path.join(self.images_root, rel)) as img:
             image = img.convert("RGB")
-            if self.height is not None:
+            if self.size is not None:
+                image = image.resize((self.size[1], self.size[0]),
+                                     Image.BILINEAR)
+            elif self.height is not None:
                 w = image.width * self.height // image.height
                 image = image.resize((w, self.height), Image.BILINEAR)
             image_np = np.asarray(image, dtype=np.float32) / 255.0
@@ -102,7 +116,10 @@ class CityscapesDataset:
         if os.path.exists(lp):
             with load_image(lp) as lab:
                 label = lab.convert("L")
-                if self.target_height is not None:
+                if self.size is not None and self.target_height == self.size[0]:
+                    label = label.resize((self.size[1], self.size[0]),
+                                         Image.NEAREST)
+                elif self.target_height is not None:
                     w = label.width * self.target_height // label.height
                     label = label.resize((w, self.target_height),
                                          Image.NEAREST)

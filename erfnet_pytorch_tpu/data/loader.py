@@ -8,7 +8,17 @@ Design:
   * a bounded queue keeps `prefetch` batches in flight;
   * `device_put` (optionally with a NamedSharding for data-parallel input)
     overlaps host->HBM transfer with TPU compute — consuming batch N while
-    batch N+1 transfers and N+2 decodes.
+    batch N+1 transfers and N+2 decodes;
+  * `pad_to=n` pads every batch up to a multiple of n (the DP mesh size)
+    by repeating images with VOID (255) labels: the class-weighted loss
+    gives void weight 0, so the padded rows contribute nothing to loss or
+    head gradients and every chip stays busy — where the reference's
+    DataParallel scatters batch 6 unevenly across 8 GPUs instead
+    (train/main.py:main() — SURVEY.md §2b).
+
+Each ``__iter__`` call builds a self-contained iterator (own thread pool,
+queue, and epoch snapshot), so nested or concurrent iteration of one
+DataLoader is safe — iterators never share producers or shuffle state.
 """
 
 from __future__ import annotations
@@ -21,12 +31,15 @@ from typing import Iterator, Optional
 import numpy as np
 import jax
 
+VOID_LABEL = 255  # raw void: relabels to class 19, whose loss weight is 0
+
 
 class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = False,
                  prefetch: int = 2, seed: int = 0,
                  sharding=None, pad_final: bool = False,
+                 pad_to: Optional[int] = None,
                  backend: str = "auto"):
         """backend: "pil" (python thread pool calling dataset.__getitem__),
         "native" (C++ decode+resize pool; requires the dataset to expose
@@ -41,6 +54,7 @@ class DataLoader:
         self.seed = seed
         self.sharding = sharding
         self.pad_final = pad_final
+        self.pad_to = pad_to
         self._epoch = 0
         self._native = None
         if backend in ("auto", "native"):
@@ -68,11 +82,11 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batch_indices(self):
+    def _batch_indices(self, epoch: int):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            rng = np.random.RandomState(self.seed + self._epoch)
+            rng = np.random.RandomState(self.seed + epoch)
             rng.shuffle(order)
         for i in range(0, n, self.batch_size):
             idx = order[i:i + self.batch_size]
@@ -80,10 +94,32 @@ class DataLoader:
                 return
             yield idx
 
+    def _pad_target(self, n_valid: int) -> int:
+        """Rows the assembled batch must have: the nominal batch size when
+        pad_final asks for fixed shapes, rounded up to a pad_to multiple."""
+        target = self.batch_size if self.pad_final else n_valid
+        if self.pad_to:
+            target += -target % self.pad_to
+        return target
+
+    def _pad(self, images, labels, n_valid: int):
+        reps = self._pad_target(n_valid) - n_valid
+        if reps <= 0:
+            return images, labels
+        images = np.concatenate(
+            [images, np.repeat(images[-1:], reps, axis=0)])
+        pad_lab = np.full((reps,) + labels.shape[1:], VOID_LABEL,
+                          labels.dtype)
+        labels = np.concatenate([labels, pad_lab])
+        return images, labels
+
     def __iter__(self) -> Iterator:
-        self._epoch += 1
+        # snapshot per-iterator state: concurrent iterators get distinct
+        # epochs (shuffle streams) and never share a pool or queue
+        epoch = self._epoch = self._epoch + 1
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
         def assemble(idx):
             if self._native is not None:
@@ -92,36 +128,23 @@ class DataLoader:
                 rels = [self.dataset.filenames[int(i)] for i in idx]
                 images, labels = self._native.load_batch(
                     [p[0] for p in pairs], [p[1] or "" for p in pairs], h, w)
-                n_valid = len(idx)
-                if self.pad_final and n_valid < self.batch_size:
-                    reps = self.batch_size - n_valid
-                    images = np.concatenate(
-                        [images, np.repeat(images[-1:], reps, axis=0)])
-                    labels = np.concatenate(
-                        [labels, np.repeat(labels[-1:], reps, axis=0)])
-                return images, labels, rels, n_valid
-            samples = list(self._pool.map(self.dataset.__getitem__, idx))
-            images = np.stack([s[0] for s in samples])
-            labels = np.stack([s[1] for s in samples])
-            rels = [s[2] for s in samples]
-            n_valid = len(samples)
-            if self.pad_final and n_valid < self.batch_size:
-                reps = self.batch_size - n_valid
-                images = np.concatenate(
-                    [images, np.repeat(images[-1:], reps, axis=0)])
-                labels = np.concatenate(
-                    [labels, np.repeat(labels[-1:], reps, axis=0)])
+            else:
+                samples = list(pool.map(self.dataset.__getitem__, idx))
+                images = np.stack([s[0] for s in samples])
+                labels = np.stack([s[1] for s in samples])
+                rels = [s[2] for s in samples]
+            n_valid = len(idx)
+            images, labels = self._pad(images, labels, n_valid)
             return images, labels, rels, n_valid
 
         error = []
 
         def producer():
             try:
-                for idx in self._batch_indices():
+                for idx in self._batch_indices(epoch):
                     if stop.is_set():
                         return
-                    batch = assemble(idx)
-                    images, labels, rels, n_valid = batch
+                    images, labels, rels, n_valid = assemble(idx)
                     if self.sharding is not None:
                         images = jax.device_put(images, self.sharding)
                         labels = jax.device_put(labels, self.sharding)
@@ -134,7 +157,6 @@ class DataLoader:
             finally:
                 q.put(None)
 
-        self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
@@ -154,4 +176,4 @@ class DataLoader:
                 except queue.Empty:
                     break
             t.join(timeout=5)
-            self._pool.shutdown(wait=False)
+            pool.shutdown(wait=False)

@@ -29,14 +29,29 @@ def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(dev_array, ("data", "model"))
 
 
-def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
-    """Largest data-parallel mesh whose size divides the batch (sharded
-    dimension 0 must split evenly across the 'data' axis)."""
+def make_mesh_for_batch(batch_size: int, devices=None,
+                        allow_pad: bool = True) -> Mesh:
+    """Data-parallel mesh for a given global batch size.
+
+    With ``allow_pad`` (default) this is the FULL device mesh: callers
+    pad non-divisible batches up to a mesh multiple (``DataLoader``'s
+    ``pad_to`` repeats images with void labels, which the class-weighted
+    loss zeroes) so the reference recipe's batch 6 keeps all 8 chips
+    busy — where torch DataParallel scatters it unevenly instead
+    (train/main.py:main() — SURVEY.md §2b).  ``allow_pad=False`` restores
+    the shrink-to-divisor behavior for callers that cannot pad."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    while n > 1 and batch_size % n != 0:
-        n -= 1
+    if not allow_pad:
+        while n > 1 and batch_size % n != 0:
+            n -= 1
     return make_mesh(n, devices)
+
+
+def pad_to_for_mesh(mesh: Mesh) -> Optional[int]:
+    """DataLoader ``pad_to`` value for a mesh (None when 1-way)."""
+    n = mesh.shape.get("data", 1)
+    return n if n > 1 else None
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

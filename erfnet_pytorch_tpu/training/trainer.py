@@ -24,7 +24,9 @@ from ..data.cityscapes import CityscapesDataset
 from ..data.loader import DataLoader
 from ..metrics.iou import IouEval, get_color_entry, colors
 from ..models import erfnet, get_model
-from ..parallel.mesh import make_mesh_for_batch, batch_sharding, replicate
+from ..parallel import spmd
+from ..parallel.mesh import (make_mesh_for_batch, batch_sharding, replicate,
+                             pad_to_for_mesh)
 from .class_weights import get_class_weights
 from . import optim
 from .checkpoint import CheckpointManager, restore_opt_state
@@ -69,9 +71,19 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
     Returns the final TrainState; artifacts land in cfg.savedir with the
     reference's file names (``*_enc`` suffixes for the encoder stage).
     """
+    mesh = cfg.mesh if cfg.mesh is not None \
+        else make_mesh_for_batch(cfg.batch_size)
+    # register the DP mesh (scoped) so the fused Pallas kernels shard over
+    # it (parallel/spmd.py wraps each batch-grid kernel in shard_map)
+    with spmd.pallas_mesh(mesh):
+        return _train_stage(cfg, mesh, enc=enc,
+                            pretrained_encoder=pretrained_encoder)
+
+
+def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
+                 pretrained_encoder=None) -> TrainState:
     log = cfg.log_fn
     log(f"========== {'ENCODER' if enc else 'DECODER'} TRAINING ==========")
-    mesh = cfg.mesh if cfg.mesh is not None else make_mesh_for_batch(cfg.batch_size)
     bsh = batch_sharding(mesh)
 
     model = get_model(cfg.model)
@@ -108,12 +120,15 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
         ds_val = CachedDataset(ds_val, cfg.cache_dir,
                                tag=f"val_h{cfg.height}")
     log(f"dataset: {len(ds_train)} train / {len(ds_val)} val images")
+    # pad_to: non-divisible batches pad to a mesh multiple with void-label
+    # rows (zero loss/grad weight) so every chip stays busy under DP
+    pad_to = pad_to_for_mesh(mesh)
     dl_train = DataLoader(ds_train, cfg.batch_size, shuffle=True,
                           num_workers=cfg.num_workers, drop_last=True,
-                          seed=cfg.seed, sharding=bsh)
+                          seed=cfg.seed, sharding=bsh, pad_to=pad_to)
     dl_val = DataLoader(ds_val, cfg.batch_size, shuffle=False,
                         num_workers=cfg.num_workers, pad_final=True,
-                        sharding=bsh)
+                        sharding=bsh, pad_to=pad_to)
 
     board = None
     if cfg.visualize:
@@ -182,9 +197,30 @@ def train_stage(cfg: TrainConfig, *, enc: bool,
                     f"// Avg time/img: {t_per_img:.4f} s")
             if board is not None and cfg.steps_plot > 0 \
                     and bidx % cfg.steps_plot == 0:
+                # reference --steps-plot contract (train/main.py +
+                # train/visualize.py): input AND colorized output AND
+                # colorized target.  The fused train step never
+                # materializes logits, so run the (jitted) eval step on
+                # the current batch for the plot predictions.
+                from ..data.transforms import colorize
                 board.loss([float(l) for l in epoch_loss],
                            f"train loss (stage {'enc' if enc else 'dec'})")
                 board.image(np.asarray(images[0]), "input image")
+                _pl, p_preds, p_tgts = eval_step(
+                    train_step.unflatten(fts), images, labels)
+                board.image(np.asarray(colorize(p_preds[0])) / 255.0,
+                            f"output (epoch: {epoch}, step: {bidx})")
+                board.image(np.asarray(colorize(p_tgts[0])) / 255.0,
+                            f"target (epoch: {epoch}, step: {bidx})")
+                if tb is not None:
+                    step_no = (epoch - 1) * len(dl_train) + bidx
+                    tb.image("train/input", np.asarray(images[0]), step_no)
+                    tb.image("train/output",
+                             np.asarray(colorize(p_preds[0])) / 255.0,
+                             step_no)
+                    tb.image("train/target",
+                             np.asarray(colorize(p_tgts[0])) / 255.0,
+                             step_no)
         avg_loss_train = float(np.mean([float(l) for l in epoch_loss]))
         iou_train_val = 0.0
         if cfg.iou_train:
@@ -245,6 +281,13 @@ def train_two_stage(cfg: TrainConfig, *, decoder_only: bool = False,
       stage 2: full net with the stage-1 (or ImageNet-imported) encoder.
     """
     os.makedirs(cfg.savedir, exist_ok=True)
+    # reproducibility breadcrumb: copy the model source into the savedir
+    # (reference main.py:≈340 copies the model .py next to the checkpoints)
+    import inspect
+    import shutil
+    src = inspect.getsourcefile(get_model(cfg.model))
+    if src and os.path.isfile(src):
+        shutil.copy(src, os.path.join(cfg.savedir, os.path.basename(src)))
     with open(os.path.join(cfg.savedir, "model.txt"), "w") as f:
         f.write(f"model: {cfg.model}, num_classes: {cfg.num_classes}\n"
                 f"encoder specs: {erfnet.ENCODER_LAYER_SPECS}\n"

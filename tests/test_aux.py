@@ -84,3 +84,38 @@ def test_dashboard_degrades_without_visdom(capsys):
     d.loss([1.0, 0.5], "loss")
     d.image(np.zeros((3, 4, 4)), "img")
     # reaching here without raising is the contract
+
+
+def test_dashboard_live_protocol(monkeypatch):
+    """With visdom importable, Dashboard must drive the real protocol:
+    vis.line for losses, vis.image with CHW data (torch-habit layouts
+    accepted) — the reference train/visualize.py contract."""
+    import sys
+    import types
+
+    calls = []
+
+    class _FakeVisdom:
+        def __init__(self, port=None):
+            calls.append(("init", port))
+
+        def line(self, y, win=None, opts=None):
+            calls.append(("line", np.asarray(y).shape, win))
+
+        def image(self, img, win=None, opts=None):
+            calls.append(("image", np.asarray(img).shape, win))
+
+    fake = types.ModuleType("visdom")
+    fake.Visdom = _FakeVisdom
+    monkeypatch.setitem(sys.modules, "visdom", fake)
+
+    from erfnet_pytorch_tpu.training.visualize import Dashboard as Dash
+    d = Dash(port=8123)
+    d.loss([1.0, 0.5, 0.25], "train loss")
+    d.image(np.zeros((8, 6, 3), np.float32), "input")   # HWC in
+    d.image(np.zeros((3, 8, 6), np.float32), "chw in")  # CHW passthrough
+    assert ("init", 8123) in calls
+    assert ("line", (3,), "train loss") in calls
+    # HWC converts to CHW for visdom; CHW passes through
+    assert ("image", (3, 8, 6), "input") in calls
+    assert ("image", (3, 8, 6), "chw in") in calls

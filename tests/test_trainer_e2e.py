@@ -22,7 +22,9 @@ def _cfg(fake_cityscapes, tmp_path, **kw):
 
 
 def test_two_stage_training_artifacts_and_resume(fake_cityscapes, tmp_path):
-    cfg = _cfg(fake_cityscapes, tmp_path)
+    # visualize exercises the --steps-plot block (input + colorized output
+    # + colorized target via the eval step; Dashboard no-ops w/o visdom)
+    cfg = _cfg(fake_cityscapes, tmp_path, visualize=True, steps_plot=1)
     ts = train_two_stage(cfg)
     sd = cfg.savedir
     # stage-1 artifacts (encoder)
@@ -34,6 +36,9 @@ def test_two_stage_training_artifacts_and_resume(fake_cityscapes, tmp_path):
     assert os.path.exists(os.path.join(sd, "model_best.pth"))
     assert os.path.exists(os.path.join(sd, "model.txt"))
     assert os.path.exists(os.path.join(sd, "best.txt"))
+    # reproducibility breadcrumb: the model source copied into savedir
+    # (reference main.py:≈340)
+    assert os.path.exists(os.path.join(sd, "erfnet.py"))
     log = open(os.path.join(sd, "automated_log.txt")).read()
     lines = log.strip().splitlines()
     assert lines[0].startswith("Epoch")
