@@ -14,7 +14,6 @@ device queue bounded.
 """
 
 import json
-import time
 
 import numpy as np
 import jax
@@ -23,27 +22,9 @@ import jax.numpy as jnp
 from erfnet_pytorch_tpu.utils.jax_cache import enable as _enable_cache
 _enable_cache()
 
+from erfnet_pytorch_tpu.utils.timing import timed_chain as _timed_chain
+
 BASELINE_FPS = 1000.0 / 24.0  # reference eval_forwardTime: ~24 ms @ 1024x512
-SEG = 10  # executions per host sync
-
-
-def _timed_chain(fn, carry0, n_iters):
-    """Run fn(carry) n_iters times in SEG-sized chained segments; return
-    seconds per iteration (excluding the first, compile-warm segment)."""
-    carry = carry0
-    # warmup segment (ensures compile + steady state)
-    for _ in range(SEG):
-        carry = fn(carry)
-    carry.block_until_ready()
-    float(np.asarray(carry))
-    t0 = time.perf_counter()
-    done = 0
-    while done < n_iters:
-        for _ in range(SEG):
-            carry = fn(carry)
-        float(np.asarray(carry))  # host sync bounds the queue
-        done += SEG
-    return (time.perf_counter() - t0) / done
 
 
 def measure_infer(params, batch_stats, batch_size, iters=40,
@@ -96,6 +77,35 @@ def measure_train(batch_size, iters=20):
     return batch_size / dt
 
 
+def measure_imagenet(batch_size=32, iters=10):
+    """BASELINE config 2: ImageNet classifier variant, 224x224 fwd/bwd
+    (SGD step, the reference imagenet/main.py recipe)."""
+    from erfnet_pytorch_tpu.models import erfnet_imagenet
+    from erfnet_pytorch_tpu.training import optim
+    from erfnet_pytorch_tpu.training.steps import create_train_state
+    from erfnet_pytorch_tpu.cli.imagenet_main import make_steps
+
+    tx = optim.make_sgd(0.1)
+    ts0 = create_train_state(erfnet_imagenet, jax.random.PRNGKey(0), 1000,
+                             tx)
+    train_step, _ = make_steps(tx, jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch_size, 224, 224, 3)
+                         .astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 1000, (batch_size,))
+                         .astype(np.int32))
+    state = {"ts": ts0}
+    key = jax.random.PRNGKey(0)
+
+    def fn(carry):
+        state["ts"], loss, _ = train_step(state["ts"],
+                                          images + carry * 0.0, labels, key)
+        return loss
+
+    dt = _timed_chain(fn, jnp.float32(0), iters)
+    return batch_size / dt
+
+
 def main():
     from erfnet_pytorch_tpu.models import erfnet
 
@@ -103,6 +113,7 @@ def main():
     infer_b1 = measure_infer(params, batch_stats, 1, iters=30)
     infer_b8 = measure_infer(params, batch_stats, 8, iters=24)
     train_b6 = measure_train(6, iters=10)
+    imagenet_b32 = measure_imagenet(32, iters=10)
 
     value = infer_b8
     print(json.dumps({
@@ -114,6 +125,8 @@ def main():
             "infer_fps_batch1": round(infer_b1, 2),
             "infer_fps_batch8_pallas": round(infer_b8, 2),
             "train_images_per_sec_batch6": round(train_b6, 2),
+            "imagenet224_train_images_per_sec_batch32": round(imagenet_b32,
+                                                              2),
             "device": jax.devices()[0].device_kind,
             "dtype": "bfloat16",
             "baseline": "reference eval_forwardTime ~24ms/img (Titan X, "

@@ -2,17 +2,17 @@
 surface (SURVEY.md §2a row 17, §3.4): random input, warmup, synchronized
 timing loop, mean ms / FPS.
 
-TPU translation of the timing contract: ``cuda.synchronize`` becomes
-``block_until_ready``; inputs vary per iteration (fresh random batch
-indices) so XLA cannot constant-fold the loop.
+TPU translation of the timing contract: ``cuda.synchronize``-bracketed
+timing becomes the carry-chained harness shared with ``bench.py``
+(utils/timing.py) — each iteration's input data-depends on the previous
+result, so executions serialize on-device and the host syncs honestly even
+through the TPU tunnel, and XLA cannot constant-fold the loop.
 """
 
 from __future__ import annotations
 
 import argparse
-import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +41,8 @@ def build_parser():
 
 def benchmark(params, batch_stats, *, batch_size, height, width,
               warmup, iterations, compute_dtype, use_pallas=False):
+    from ..utils.timing import timed_chain
+
     if use_pallas:
         from ..inference import build_fast_infer
         fast = build_fast_infer(params, batch_stats,
@@ -49,18 +51,21 @@ def benchmark(params, batch_stats, *, batch_size, height, width,
         infer = lambda p, s, x: fast(x)
     else:
         infer = make_infer_fn(erfnet, compute_dtype=compute_dtype)
-    # a pool of distinct inputs so no result can be cached/folded
-    keys = jax.random.split(jax.random.PRNGKey(0), 4)
-    xs = [jax.random.uniform(k, (batch_size, height, width, 3)) for k in keys]
-    for i in range(warmup):
-        logits, pred = infer(params, batch_stats, xs[i % len(xs)])
-    jax.block_until_ready((logits, pred))
-    t0 = time.perf_counter()
-    for i in range(iterations):
-        logits, pred = infer(params, batch_stats, xs[i % len(xs)])
-    jax.block_until_ready((logits, pred))
-    dt = (time.perf_counter() - t0) / iterations
-    return dt
+    x = jax.random.uniform(jax.random.PRNGKey(0),
+                           (batch_size, height, width, 3))
+
+    @jax.jit
+    def step(carry):
+        # the carry dependency defeats constant folding AND serializes
+        # executions on-device (utils/timing.py timing contract)
+        _logits, pred = infer(params, batch_stats, x + carry * 0.0)
+        return (pred.sum() % 1024).astype(jnp.float32)
+
+    # timed_chain runs one warm segment itself; honor larger --warmup
+    carry = jnp.float32(0)
+    for _ in range(max(warmup - 10, 0)):
+        carry = step(carry)
+    return timed_chain(step, carry, iterations)
 
 
 def main(argv=None):

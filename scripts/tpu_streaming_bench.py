@@ -59,8 +59,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(args.iters):
             carry = dstep(carry)
-            if True:
-                float(carry)  # bound the queue (tunnel policy)
+            float(carry)  # per-iteration host sync: bound the queue (tunnel policy)
         dt = (time.perf_counter() - t0) / args.iters
         print(f"device-only {args.height}x{args.width} batch={args.batch} "
               f"{dt * 1000:.1f} ms/batch  {args.batch / dt:.2f} img/s",

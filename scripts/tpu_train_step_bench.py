@@ -46,6 +46,8 @@ def main():
     tx = optim.make_adam()
     ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
     K = args.multi
+    if K > 1:
+        args.flat = True  # multi_step requires the flat-carry step
     step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
                            augment=True, compute_dtype=jnp.bfloat16,
                            flat=args.flat, multi_step=K)

@@ -340,6 +340,15 @@ def test_fused_paths_engaged_at_benchmark_shapes():
     assert _eligible((8, 64, 128, 128), 1)      # dilated C128 blocks
     assert _eligible((8, 128, 256, 64), 2)      # C64 stages
     assert _eligible((8, 256, 512, 16), 8)      # C16 decoder stages
-    # streaming 1024x2048: big-map stages must at least chunk
+    # streaming 1024x2048: big-map stages must take the single-call
+    # h-blocked halo kernel (chunked multi-call is the deeper fallback)
+    from erfnet_pytorch_tpu.ops.pallas.nb1d import nb1d_blocked_supported
+    assert nb1d_blocked_supported((1, 512, 1024, 16), 8, 1, _MAX_MAP_ELEMS)
+    assert nb1d_blocked_supported((1, 256, 512, 64), 2, 1, _MAX_MAP_ELEMS)
+    assert nb1d_blocked_supported((1, 128, 256, 128), 1, 16, _MAX_MAP_ELEMS)
     assert nb1d_chunk_supported((1, 512, 1024, 16), 8, 1, _MAX_MAP_ELEMS)
     assert nb1d_chunk_supported((1, 256, 512, 64), 2, 1, _MAX_MAP_ELEMS)
+    # BASELINE config 2: ImageNet variant at 224x224, batch 32 — the
+    # packed/fused train blocks must engage at its stage shapes
+    assert pair_supported((32, 56, 28, 128))    # C64 stage, W-packed p=2
+    assert pair_supported((32, 28, 28, 128))    # dilated C128 stage
