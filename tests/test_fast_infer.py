@@ -183,3 +183,26 @@ def test_fast_argmax_matches_jnp_argmax():
     t = jnp.zeros((1, 3, 3, 20))
     np.testing.assert_array_equal(np.asarray(fast_argmax(t)),
                                   np.asarray(jnp.argmax(t, -1)))
+
+
+def test_fast_infer_blocked_path_matches_xla(monkeypatch):
+    """Routing check: with the VMEM map budget forced small, the layer_fn
+    must take the h-blocked halo kernels (not whole-map, not XLA) and the
+    pipeline still matches the XLA oracle."""
+    import erfnet_pytorch_tpu.inference as inf
+
+    params, state = erfnet.init(jax.random.PRNGKey(2), 20)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 128, 256, 3))
+    ref_fn = build_fast_infer(params, state, dtype=jnp.float32,
+                              use_pallas=False)
+    # budget below every stage's whole-map size but enough for >=8-row
+    # windows; also disable the stack kernel (whole-map only)
+    monkeypatch.setattr(inf, "_MAX_MAP_ELEMS", 24 * 32 * 128)
+    fast_fn = build_fast_infer(params, state, dtype=jnp.float32,
+                               use_pallas=True, interpret=True,
+                               use_stack=False)
+    ref_logits, ref_pred = ref_fn(x)
+    logits, pred = fast_fn(x)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-3, atol=2e-3)
+    assert (np.asarray(pred) == np.asarray(ref_pred)).mean() > 0.999
