@@ -426,19 +426,23 @@ def _apply_decoder_packed_train(params, state, x, *, rng, compute_dtype,
     keep_packed=True the features stay W-packed (B, 4H, W_in/2, 128) for
     the packed fused head+loss (the (M, 16) native view has a lane-padded
     layout that costs ~1 ms/step in relayouts)."""
-    from ..ops.packed import _bn_packed, nb1d_train_packed_core_run
-    from ..ops.pallas.upsampler import upsampler_packed
+    from ..ops.packed import (_bn_packed_coeffs_from_sums,
+                              nb1d_train_packed_core_run)
+    from ..ops.pallas.upsampler import upsampler_packed_stats
     layers, lstate = params["layers"], state["layers"]
     new_layers: List[Any] = [None] * len(layers)
     X = x.astype(compute_dtype) if compute_dtype is not None else x
 
     def up(i, X, pi, po, p_bn):
-        y = upsampler_packed(X, layers[i]["conv"]["w"],
-                             layers[i]["conv"]["b"], pi=pi, po=po)
-        y, bns = _bn_packed(y, layers[i]["bn"], lstate[i]["bn"], p=p_bn,
-                            train=True, eps=BN_EPS)
+        # the kernel emits the BN batch statistics (psum'd under DP)
+        y, s1, s2 = upsampler_packed_stats(X, layers[i]["conv"]["w"],
+                                           layers[i]["conv"]["b"],
+                                           pi=pi, po=po)
+        n = y.shape[0] * y.shape[1] * y.shape[2] * p_bn
+        (a, b), bns = _bn_packed_coeffs_from_sums(
+            s1, s2, n, layers[i]["bn"], lstate[i]["bn"], p=p_bn, eps=BN_EPS)
         new_layers[i] = {"bn": bns}
-        return jax.nn.relu(y)
+        return jax.nn.relu(y * a.astype(y.dtype) + b.astype(y.dtype))
 
     def run(idxs, X, p, C):
         rngs = [jax.random.fold_in(rng, 100 + k) if rng is not None

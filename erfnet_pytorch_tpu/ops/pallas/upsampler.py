@@ -111,6 +111,12 @@ def _ups_fwd_kernel(x_ref, K, bias, out_ref, *, H, Wbo, Chm, Co):
 
 def _ups_bwd_kernel(x_ref, g_ref, K, dx_ref, dK_ref, db_ref, *,
                     H, Wbo, Chm, Co):
+    _ups_bwd_math(x_ref, g_ref[0], K, dx_ref, dK_ref, db_ref,
+                  H=H, Wbo=Wbo, Chm=Chm, Co=Co)
+
+
+def _ups_bwd_math(x_ref, g, K, dx_ref, dK_ref, db_ref, *,
+                  H, Wbo, Chm, Co):
     i = pl.program_id(0)
     x = x_ref[0].reshape(H, Wbo, Chm)
     xf = x.reshape(H * Wbo, Chm)
@@ -119,7 +125,7 @@ def _ups_bwd_kernel(x_ref, g_ref, K, dx_ref, dK_ref, db_ref, *,
     dKs = []
     db = None
     for a in (0, 1):
-        ga = g_ref[0][:, a]                     # (H, Wbo, Co)
+        ga = g[:, a]                            # (H, Wbo, Co)
         db_a = jnp.sum(ga.reshape(H * Wbo, Co).astype(jnp.float32), axis=0)
         db = db_a if db is None else db + db_a
         for qh in (0, 1):
@@ -278,3 +284,163 @@ def ups_packed_supported(x_shape, pi: int, po: int) -> bool:
             and (wb * pi * 2) % po == 0
             and h * wb * ci <= 2 * 1024 * 1024
             and b % spmd.data_shards() == 0)
+
+
+# ---------------------------------------------------------------------------
+# Stats-emitting variant: the kernel also accumulates the output's batch
+# sum / sum-of-squares across the batch grid (the following BatchNorm's
+# cross-batch statistics; ops/packed.py:_bn_packed_coeffs_from_sums is
+# the consumer) and the backward folds the stats cotangents in-kernel —
+# same design as ops/pallas/nb1d_train.py's ``*_stats`` ops.
+# ---------------------------------------------------------------------------
+
+def _ups_fwd_kernel_st(x_ref, K, bias, out_ref, s1_ref, s2_ref, *,
+                       H, Wbo, Chm, Co):
+    _ups_fwd_kernel(x_ref, K, bias, out_ref, H=H, Wbo=Wbo, Chm=Chm, Co=Co)
+    i = pl.program_id(0)
+    z = out_ref[0].astype(jnp.float32).reshape(H * 2 * Wbo, Co)
+    first = i == 0
+
+    @pl.when(first)
+    def _():
+        s1_ref[:] = jnp.sum(z, axis=0).reshape(1, Co)
+        s2_ref[:] = jnp.sum(z * z, axis=0).reshape(1, Co)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        s1_ref[:] = s1_ref[:] + jnp.sum(z, axis=0).reshape(1, Co)
+        s2_ref[:] = s2_ref[:] + jnp.sum(z * z, axis=0).reshape(1, Co)
+
+
+def _ups_bwd_kernel_st(x_ref, g_ref, z_ref, gs1, gs2, K, dx_ref, dK_ref,
+                       db_ref, *, H, Wbo, Chm, Co):
+    # fold dz += gs1 + 2 z gs2 into the incoming cotangent, then reuse the
+    # base backward math on the adjusted gradient
+    g = g_ref[0].astype(jnp.float32)
+    z = z_ref[0].astype(jnp.float32)
+    g = (g + gs1[:].reshape(1, 1, 1, Co)
+         + 2.0 * z * gs2[:].reshape(1, 1, 1, Co)).astype(g_ref.dtype)
+    _ups_bwd_math(x_ref, g, K, dx_ref, dK_ref, db_ref,
+                  H=H, Wbo=Wbo, Chm=Chm, Co=Co)
+
+
+def _call_fwd_st(x, K, bias, *, interpret):
+    def call(x, K, bias):
+        B, H, Wb, Ci = x.shape
+        Chm, Co = K.shape[3], K.shape[4]
+        Wbo = (H * Wb * Ci) // (H * Chm)
+        kernel = functools.partial(_ups_fwd_kernel_st, H=H, Wbo=Wbo,
+                                   Chm=Chm, Co=Co)
+        v = pltpu.VMEM
+        sspec = pl.BlockSpec((1, Co), lambda b: (0, 0), memory_space=v)
+        out5, s1, s2 = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, Wb, Ci), lambda b: (b, 0, 0, 0),
+                             memory_space=v),
+                pl.BlockSpec(K.shape, lambda b: (0,) * 5, memory_space=v),
+                pl.BlockSpec((Co,), lambda b: (0,), memory_space=v),
+            ],
+            out_specs=(pl.BlockSpec((1, H, 2, Wbo, Co),
+                                    lambda b: (b, 0, 0, 0, 0),
+                                    memory_space=v), sspec, sspec),
+            out_shape=(jax.ShapeDtypeStruct((B, H, 2, Wbo, Co), x.dtype),
+                       jax.ShapeDtypeStruct((1, Co), jnp.float32),
+                       jax.ShapeDtypeStruct((1, Co), jnp.float32)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=8 * 2 * H * Wbo * Chm * Co,
+                bytes_accessed=2 * H * Wb * Ci * x.dtype.itemsize,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, K, bias)
+        return out5.reshape(B, 2 * H, Wbo, Co), s1, s2
+
+    return spmd.shard_batch_call(
+        call, (True, False, False),
+        reduce_out=(False, True, True))(x, K, bias)
+
+
+def _call_bwd_st(x, g, z, gs1, gs2, K, *, interpret):
+    def call(x, g, z, gs1, gs2, K):
+        B, H, Wb, Ci = x.shape
+        Chm, Co = K.shape[3], K.shape[4]
+        Wbo = (H * Wb * Ci) // (H * Chm)
+        kernel = functools.partial(_ups_bwd_kernel_st, H=H, Wbo=Wbo,
+                                   Chm=Chm, Co=Co)
+        v = pltpu.VMEM
+        g5 = g.reshape(B, H, 2, Wbo, Co)
+        z5 = z.reshape(B, H, 2, Wbo, Co)
+        sspec = pl.BlockSpec((1, Co), lambda b: (0, 0), memory_space=v)
+        map5 = pl.BlockSpec((1, H, 2, Wbo, Co), lambda b: (b, 0, 0, 0, 0),
+                            memory_space=v)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, Wb, Ci), lambda b: (b, 0, 0, 0),
+                             memory_space=v),
+                map5, map5, sspec, sspec,
+                pl.BlockSpec(K.shape, lambda b: (0,) * 5, memory_space=v),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, H, Wb, Ci), lambda b: (b, 0, 0, 0),
+                             memory_space=v),
+                pl.BlockSpec(K.shape, lambda b: (0,) * 5, memory_space=v),
+                pl.BlockSpec((1, Co), lambda b: (0, 0), memory_space=v),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct(K.shape, jnp.float32),
+                jax.ShapeDtypeStruct((1, Co), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=24 * 2 * H * Wbo * Chm * Co,
+                bytes_accessed=5 * H * Wb * Ci * x.dtype.itemsize,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, g5, z5, gs1, gs2, K)
+
+    dx, dK, db = spmd.shard_batch_call(
+        call, (True, True, True, False, False, False),
+        reduce_out=(False, True, True))(x, g, z, gs1, gs2, K)
+    return dx, dK, db.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _ups_op_st(interpret: bool):
+    @jax.custom_vjp
+    def op(x, K, bias):
+        return _call_fwd_st(x, K, bias, interpret=interpret)
+
+    def fwd(x, K, bias):
+        y, s1, s2 = _call_fwd_st(x, K, bias, interpret=interpret)
+        return (y, s1, s2), (x, K, y)
+
+    def bwd(res, g):
+        x, K, y = res
+        gy, gs1, gs2 = g
+        dx, dK, db = _call_bwd_st(
+            x, gy.astype(x.dtype), y, gs1.astype(jnp.float32),
+            gs2.astype(jnp.float32), K, interpret=interpret)
+        return dx, dK.astype(K.dtype), db
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def upsampler_packed_stats(x, w_hwio, b, *, pi: int, po: int,
+                           interpret=None):
+    """upsampler_packed that also returns (y, s1, s2) batch statistics of
+    the output (per output lane, f32) for the following BatchNorm."""
+    from ..convt_mm import build_upsampler_matmul
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    Wcat, bias4 = build_upsampler_matmul(w_hwio, b)
+    K, bias = build_ups_packed(Wcat, bias4, pi, po)
+    return _ups_op_st(bool(interpret))(x, K.astype(jnp.float32),
+                                       bias.astype(jnp.float32))

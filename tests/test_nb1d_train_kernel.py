@@ -448,3 +448,39 @@ def test_fused_pair_affine_and_epi_stats_match_references():
     for got, want, name in zip(vjp_f(g), vjp_r(g), "t y_res".split()):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=5e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("pi,po,cin,cout", [(1, 2, 128, 64), (2, 8, 64, 16)])
+def test_upsampler_packed_stats_matches(pi, po, cin, cout):
+    """Stats-emitting upsampler: (y, sum, sumsq) values and grads (with
+    the in-kernel stats backward) vs the plain op + XLA reductions."""
+    from erfnet_pytorch_tpu.ops.pallas.upsampler import (
+        upsampler_packed, upsampler_packed_stats)
+
+    rng = np.random.RandomState(pi * 10 + po)
+    B, H, W = 2, 8, 32
+    x = jnp.asarray(rng.randn(B, H, W, cin), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+    xp = x.reshape(B, H, W // pi, pi * cin)
+
+    def ref(xp, w, b):
+        y = upsampler_packed(xp, w, b, pi=pi, po=po)
+        yf = y.astype(jnp.float32).reshape(-1, y.shape[-1])
+        return y, jnp.sum(yf, 0)[None], jnp.sum(yf * yf, 0)[None]
+
+    def fused(xp, w, b):
+        return upsampler_packed_stats(xp, w, b, pi=pi, po=po)
+
+    out_r, vjp_r = jax.vjp(ref, xp, w, b)
+    out_f, vjp_f = jax.vjp(fused, xp, w, b)
+    for got, want, name in zip(out_f, out_r, ("y", "s1", "s2")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-3, err_msg=name)
+    g = (jnp.asarray(rng.randn(*out_r[0].shape), jnp.float32),
+         jnp.asarray(rng.randn(*out_r[1].shape) * 0.01, jnp.float32),
+         jnp.asarray(rng.randn(*out_r[2].shape) * 0.01, jnp.float32))
+    for got, want, name in zip(vjp_f(g), vjp_r(g), "x w b".split()):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-3,
+                                   err_msg=f"grad {name}")
