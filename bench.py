@@ -45,18 +45,22 @@ def measure_infer(params, batch_stats, batch_size, iters=40,
     return batch_size / dt
 
 
-def measure_train(batch_size, iters=20):
+def measure_train(batch_size, iters=20, multi_step=2):
+    """Hot-loop train throughput at the trainer's multi_step=K config:
+    one dispatch runs K unrolled optimizer steps (trainer supports the
+    same via TrainConfig.multi_step)."""
     from erfnet_pytorch_tpu.models import erfnet
     from erfnet_pytorch_tpu.training import optim
     from erfnet_pytorch_tpu.training.steps import (create_train_state,
                                                    make_train_step)
     from erfnet_pytorch_tpu.training.class_weights import DECODER_WEIGHTS
 
+    K = multi_step
     tx = optim.make_adam()
     ts0 = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
     step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
                            augment=True, compute_dtype=jnp.bfloat16,
-                           flat=True)
+                           flat=True, multi_step=K)
     ts0 = step.flatten(ts0)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch_size, 512, 1024, 3)
@@ -69,11 +73,16 @@ def measure_train(batch_size, iters=20):
     key = jax.random.PRNGKey(0)  # hoisted: a per-step host PRNGKey costs ms
 
     def fn(carry):
-        state["ts"], loss = step(state["ts"], images + carry * 0.0, labels,
-                                 key)
+        im = images + carry * 0.0
+        if K > 1:
+            state["ts"], losses = step(state["ts"],
+                                       tuple(im for _ in range(K)),
+                                       tuple(labels for _ in range(K)), key)
+            return losses[-1]
+        state["ts"], loss = step(state["ts"], im, labels, key)
         return loss
 
-    dt = _timed_chain(fn, jnp.float32(0), iters)
+    dt = _timed_chain(fn, jnp.float32(0), iters) / K
     return batch_size / dt
 
 

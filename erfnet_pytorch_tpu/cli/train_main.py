@@ -64,6 +64,10 @@ def build_parser():
     p.add_argument("--cache-dir", default="",
                    help="decoded-sample cache dir (big speedup on "
                         "few-core hosts from epoch 2 on)")
+    p.add_argument("--multi-step", type=int, default=1,
+                   help="optimizer steps per compiled dispatch (K>1 "
+                        "amortizes fixed dispatch overhead; trailing "
+                        "epoch remainder of <K batches is dropped)")
     p.add_argument("--tensorboard", action="store_true",
                    help="write tensorboard scalars under savedir/tb/")
     p.add_argument("--no-fused-kernels", action="store_true",
@@ -99,6 +103,7 @@ def main(argv=None):
         init_weights=args.state or "",
         visualize=args.visualize, port=args.port,
         steps_plot=args.steps_plot, tensorboard=args.tensorboard,
+        multi_step=args.multi_step,
     )
 
     pretrained_encoder = None

@@ -78,11 +78,15 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
     (``flatten`` must be called once before the first step).
 
     multi_step=K (flat mode, no preds): ONE dispatch runs K optimizer
-    steps via ``lax.scan`` over leading-(K,) batched inputs and returns
-    losses (K,).  On this chip a dispatch costs ~2.5 ms of host overhead
-    vs ~0.5 ms per scan iteration, so K>1 amortizes the per-step gap
-    (device compute is unchanged; the RNG folds the on-device step
-    counter, so the random stream matches K separate dispatches).
+    steps UNROLLED over K per-step batches passed as tuples
+    (``step(fts, (im1..imK), (lb1..lbK), rng) -> (fts, losses (K,))``),
+    amortizing the fixed per-dispatch overhead (~2.5 ms host RTT on this
+    chip) and letting XLA schedule across steps.  Tuples, not stacked
+    arrays, so per-batch shardings are preserved under a DP mesh.  The
+    RNG folds the on-device step counter, so the random stream matches K
+    separate dispatches.  Measured: 30.0 -> 28.0 (in-kernel BN stats) ->
+    25.0 ms/step at K=2 on v5e (a lax.scan formulation measured 39.1 —
+    scan's carry handling costs more than the dispatch it amortizes).
     """
     import inspect
 
@@ -252,12 +256,19 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
     if multi_step > 1:
         assert not with_pred, "multi_step is for the no-pred hot loop"
 
+        # UNROLLED, not lax.scan: scan's carry handling (no donation into
+        # the loop body, worse cross-iteration async scheduling) measured
+        # 39.1 ms/step at K=4 vs 30.0 eager on this chip; the unrolled
+        # body keeps in-place updates and lets XLA schedule across steps,
+        # so one dispatch amortizes the fixed per-dispatch overhead.
+        # Compile time scales ~K-fold — keep K small.
         @functools.partial(jax.jit, donate_argnums=(0,))
         def flat_step(fts: FlatState, images, labels, rng):
-            def body(carry, batch):
-                new_c, loss = flat_body(carry, batch[0], batch[1], rng)
-                return new_c, loss
-            return jax.lax.scan(body, fts, (images, labels))
+            losses = []
+            for im, lb in zip(images, labels):
+                fts, loss = flat_body(fts, im, lb, rng)
+                losses.append(loss)
+            return fts, jnp.stack(losses)
     else:
         flat_step = jax.jit(flat_body, donate_argnums=(0,))
 

@@ -62,6 +62,11 @@ class TrainConfig:
     port: int = 8097
     steps_plot: int = 50
     tensorboard: bool = False          # TensorBoardWriter scalars
+    multi_step: int = 1                # optimizer steps per dispatch (K):
+    # one compiled program runs K unrolled steps, amortizing the fixed
+    # per-dispatch overhead (25.0 vs 28.0 ms/step at K=2 on v5e).  A
+    # trailing epoch remainder of <K batches is dropped (drop_last-style;
+    # logged).  Ignored when iou_train needs per-step predictions.
 
 
 def train_stage(cfg: TrainConfig, *, enc: bool,
@@ -104,10 +109,12 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
     weights = get_class_weights(enc)
     # flat-carry params/optimizer: the per-leaf Adam over 228 tensors is
     # per-op-overhead bound on TPU; the flat step does it in ~4 vector ops
+    K = 1 if cfg.iou_train else max(1, cfg.multi_step)
     train_step = make_train_step(model, optimizer, weights, enc=enc,
                                  augment=cfg.augment,
                                  compute_dtype=cfg.compute_dtype,
-                                 with_pred=cfg.iou_train, flat=True)
+                                 with_pred=cfg.iou_train, flat=True,
+                                 multi_step=K)
     eval_step = make_eval_step(model, weights, enc=enc,
                                compute_dtype=cfg.compute_dtype)
 
@@ -179,6 +186,7 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
         iou_train = IouEval(cfg.num_classes) if cfg.iou_train else None
         t_start = time.time()
         n_imgs = 0
+        group_im, group_lb = [], []
         for bidx, (images, labels, _rels, n_valid) in enumerate(dl_train):
             # the step folds ts.step into the key on device — one constant
             # base key here avoids a per-step host fold_in dispatch
@@ -186,10 +194,22 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
                 fts, loss, preds, tgts = train_step(fts, images, labels,
                                                     step_rng)
                 iou_train.add_batch(preds, tgts)
+                epoch_loss.append(loss)
+                n_imgs += n_valid
+            elif K > 1:
+                group_im.append(images)
+                group_lb.append(labels)
+                n_imgs += n_valid
+                if len(group_im) < K:
+                    continue
+                fts, losses = train_step(fts, tuple(group_im),
+                                         tuple(group_lb), step_rng)
+                group_im, group_lb = [], []
+                epoch_loss.extend(list(losses))
             else:
                 fts, loss = train_step(fts, images, labels, step_rng)
-            epoch_loss.append(loss)
-            n_imgs += n_valid
+                epoch_loss.append(loss)
+                n_imgs += n_valid
             if cfg.steps_loss > 0 and bidx % cfg.steps_loss == 0:
                 avg = float(np.mean([float(l) for l in epoch_loss]))
                 t_per_img = (time.time() - t_start) / max(n_imgs, 1)
@@ -221,6 +241,9 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
                     tb.image("train/target",
                              np.asarray(colorize(p_tgts[0])) / 255.0,
                              step_no)
+        if group_im:
+            log(f"multi_step={K}: dropped {len(group_im)} trailing "
+                f"batch(es) (epoch length not divisible by K)")
         avg_loss_train = float(np.mean([float(l) for l in epoch_loss]))
         iou_train_val = 0.0
         if cfg.iou_train:

@@ -58,9 +58,9 @@ def main():
                          .astype(np.float32))
     labels = jnp.asarray(rng.randint(0, 20, (args.batch, 512, 1024))
                          .astype(np.int32))
-    if K > 1:  # replicate ON DEVICE — one host->HBM transfer either way
-        images = jnp.stack([images] * K)
-        labels = jnp.stack([labels] * K)
+    if K > 1:  # K per-step batch tuples (shardings preserved under DP)
+        images = tuple(images for _ in range(K))
+        labels = tuple(labels for _ in range(K))
 
     def last(loss):
         return float(loss if K == 1 else loss[-1])

@@ -99,3 +99,17 @@ def test_color_and_server_cli(fake_cityscapes, tmp_path, monkeypatch):
     valid = {7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28,
              31, 32, 33, 0}
     assert set(np.unique(ids)).issubset(valid)
+
+
+def test_train_stage_multi_step(fake_cityscapes, tmp_path):
+    """multi_step=2: the trainer groups batches into one K-step dispatch,
+    logs every per-step loss, and drops a trailing remainder group."""
+    cfg = _cfg(fake_cityscapes, tmp_path, num_epochs=1, batch_size=2,
+               multi_step=2, iou_val=False)
+    ts = train_stage(cfg, enc=True)
+    log = open(os.path.join(cfg.savedir,
+                            "automated_log_encoder.txt")).read()
+    lines = log.strip().splitlines()
+    assert len(lines) == 2 and np.isfinite(float(lines[1].split()[1]))
+    # 6 train images / batch 2 = 3 batches -> one K=2 group + 1 dropped
+    assert int(ts.step) == 2

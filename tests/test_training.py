@@ -130,7 +130,7 @@ def test_flat_train_step_matches_tree_step():
 
 
 def test_multi_step_matches_sequential():
-    """multi_step=2 (lax.scan, one dispatch) == two sequential flat steps:
+    """multi_step=2 (one UNROLLED dispatch) == two sequential flat steps:
     same losses, same final params (the rng folds the on-device step
     counter, so the random streams line up)."""
     tx = optim.make_adam(5e-3)
@@ -150,8 +150,7 @@ def test_multi_step_matches_sequential():
     s2 = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
                          augment=True, flat=True, multi_step=2)
     f2 = s2.flatten(ts2)
-    f2, losses = s2(f2, jnp.stack([images] * 2), jnp.stack([labels] * 2),
-                    key)
+    f2, losses = s2(f2, (images, images), (labels, labels), key)
     np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-5)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
