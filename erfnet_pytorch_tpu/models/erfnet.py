@@ -324,20 +324,26 @@ def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype):
     (Down 3->16) -> packed Down(16,64) -> packed C64 run -> Down(64,128)
     -> dilated C128 blocks (fused conv-pair kernels).  No s2d/pool/pack
     layout round-trips between stages."""
-    from ..ops.packed import _bn_packed, nb1d_train_packed_core_run
-    from ..ops.pallas.downsampler import downsampler_packed
+    from ..ops.packed import (_bn_packed_coeffs_from_sums,
+                              nb1d_train_packed_core_run)
+    from ..ops.pallas.downsampler import downsampler_packed_stats
     B, H, W, _ = x.shape
     layers, lstate = params["layers"], state["layers"]
     new_layers: List[Any] = [None] * len(layers)
     xc = x.astype(compute_dtype) if compute_dtype is not None else x
 
     def down(p, s, X, pi, po, cout):
-        y = downsampler_packed(X, p["conv"]["w"], p["conv"]["b"], pi=pi)
+        # ONE kernel: conv + max-pool lanes + bias + BN batch statistics
+        y, s1, s2 = downsampler_packed_stats(X, p["conv"]["w"],
+                                             p["conv"]["b"], pi=pi)
         b_, h2, wb, cl = y.shape
+        n = b_ * h2 * wb * (cl // cout)
+        (a, bb), bns = _bn_packed_coeffs_from_sums(
+            s1, s2, n, p["bn"], s["bn"], p=cl // cout, eps=BN_EPS,
+            out_p=po)
         y = y.reshape(b_, h2, (wb * cl) // (po * cout), po * cout)
-        y, bns = _bn_packed(y, p["bn"], s["bn"], p=po, train=True,
-                            eps=BN_EPS)
-        return jax.nn.relu(y), {"bn": bns}
+        return jax.nn.relu(y * a.astype(y.dtype) + bb.astype(y.dtype)), \
+            {"bn": bns}
 
     # stem: image W-packed view (free row-major regroup)
     X = xc.reshape(B, H, W // _STEM_PI, _STEM_PI * 3)

@@ -278,11 +278,14 @@ def _bn_packed_coeffs(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
 
 
 def _bn_packed_coeffs_from_sums(s1, s2, n, bn_params, bn_state, *, p,
-                                eps=1e-3, momentum=0.1):
+                                eps=1e-3, momentum=0.1, out_p=None):
     """_bn_packed_coeffs (train mode) with the batch sum / sum-of-squares
     SUPPLIED by the producing fused kernel (ops/pallas/nb1d_train.py
     ``*_stats`` ops) — the full-map XLA reduction never runs.  s1/s2:
-    (pC,)-reshapeable f32; n: GLOBAL element count per true channel."""
+    (pC,)-reshapeable f32; n: GLOBAL element count per true channel.
+    ``out_p``: tile the returned affine to a different slot count than the
+    stats layout (the downsampler emits stats in its s_out-slot kernel
+    layout while the caller applies BN on the po-slot regrouped view)."""
     C = bn_params["scale"].shape[0]
     scale = bn_params["scale"].astype(jnp.float32)
     bias = bn_params["bias"].astype(jnp.float32)
@@ -294,7 +297,8 @@ def _bn_packed_coeffs_from_sums(s1, s2, n, bn_params, bn_state, *, p,
         "var": (1 - momentum) * bn_state["var"] + momentum * unbiased,
     }
     inv = scale * jax.lax.rsqrt(var + eps)
-    return (jnp.tile(inv, p), jnp.tile(bias - mean * inv, p)), new_state
+    t = p if out_p is None else out_p
+    return (jnp.tile(inv, t), jnp.tile(bias - mean * inv, t)), new_state
 
 
 def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,

@@ -312,6 +312,138 @@ def downsampler_packed(x, w_hwio, b, *, pi: int,
     return conv + down_pool_packed(x, pi, cin, cc).astype(conv.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Pool + stats variant: the forward kernel ALSO computes the 2x2 max-pool
+# lanes and the output's batch sum / sum-of-squares (the following
+# BatchNorm's cross-batch statistics), so XLA runs neither the pool
+# passes, the concat-add, nor any full-map stat reduction.  The backward
+# keeps the proven decomposition: the existing conv backward kernel on
+# the stats-adjusted gradient plus jax AD of the (exact-tie) pool — the
+# in-kernel pool BACKWARD is what blew Mosaic's register allocator.
+# ---------------------------------------------------------------------------
+
+def _down_pool_lanes(x, H2, Wb, pi, cin, cc):
+    """In-kernel 2x2 max-pool of one W-packed image into the kernel's
+    output lane layout (zeros over the conv lanes) — the single-image
+    mirror of down_pool_packed, same W-pairs-then-rows associativity."""
+    s_out = pi // 2
+    mw = jnp.max(x.reshape(2 * H2, Wb, s_out, 2, cin), axis=3)
+    mp = jnp.max(mw.reshape(H2, 2, Wb, s_out, cin), axis=1)
+    z = jnp.zeros((H2, Wb, s_out, cc), mp.dtype)
+    return jnp.concatenate([z, mp], axis=-1).reshape(
+        H2, Wb, s_out * (cc + cin))
+
+
+def _down_fwd_kernel_st(x_ref, K, bias, out_ref, s1_ref, s2_ref, *,
+                        H2, Wb, Cin, Cc):
+    _down_fwd_kernel(x_ref, K, bias, out_ref, H2=H2, Wb=Wb, Cin=Cin, Cc=Cc)
+    x = x_ref[0]
+    pi = x.shape[-1] // Cin
+    y = out_ref[0] + _down_pool_lanes(x, H2, Wb, pi, Cin,
+                                      Cc).astype(out_ref.dtype)
+    out_ref[0] = y
+    i = pl.program_id(0)
+    yf = y.astype(jnp.float32).reshape(H2 * Wb, -1)
+    s1 = jnp.sum(yf, axis=0).reshape(1, -1)
+    s2 = jnp.sum(yf * yf, axis=0).reshape(1, -1)
+    first = i == 0
+
+    @pl.when(first)
+    def _():
+        s1_ref[:] = s1
+        s2_ref[:] = s2
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        s1_ref[:] = s1_ref[:] + s1
+        s2_ref[:] = s2_ref[:] + s2
+
+
+def _call_fwd_st(x, K, bias, *, Cin, Cc, interpret):
+    def call(x, K, bias):
+        B, H, Wb, C = x.shape
+        H2 = H // 2
+        co = K.shape[-1]
+        kernel = functools.partial(_down_fwd_kernel_st, H2=H2, Wb=Wb,
+                                   Cin=Cin, Cc=Cc)
+        v = pltpu.VMEM
+        sspec = pl.BlockSpec((1, co), lambda b: (0, 0), memory_space=v)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, Wb, C), lambda b: (b, 0, 0, 0),
+                             memory_space=v),
+                pl.BlockSpec(K.shape, lambda b: (0,) * 4, memory_space=v),
+                pl.BlockSpec((co,), lambda b: (0,), memory_space=v),
+            ],
+            out_specs=(pl.BlockSpec((1, H2, Wb, co), lambda b: (b, 0, 0, 0),
+                                    memory_space=v), sspec, sspec),
+            out_shape=(jax.ShapeDtypeStruct((B, H2, Wb, co), x.dtype),
+                       jax.ShapeDtypeStruct((1, co), jnp.float32),
+                       jax.ShapeDtypeStruct((1, co), jnp.float32)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * 2 * H2 * Wb * C * co,
+                bytes_accessed=(H * Wb * C + H2 * Wb * co)
+                * x.dtype.itemsize,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, K, bias)
+
+    return spmd.shard_batch_call(
+        call, (True, False, False),
+        reduce_out=(False, True, True))(x, K, bias)
+
+
+@functools.lru_cache(maxsize=None)
+def _down_op_st(Cin: int, Cc: int, pi: int, interpret: bool):
+    @jax.custom_vjp
+    def op(x, K, bias):
+        return _call_fwd_st(x, K, bias, Cin=Cin, Cc=Cc, interpret=interpret)
+
+    def fwd(x, K, bias):
+        y, s1, s2 = _call_fwd_st(x, K, bias, Cin=Cin, Cc=Cc,
+                                 interpret=interpret)
+        return (y, s1, s2), (x, K, y)
+
+    def bwd(res, g):
+        x, K, y = res
+        gy, gs1, gs2 = g
+        co = y.shape[-1]
+        # one fused XLA pass builds the stats-adjusted cotangent; it is
+        # shared by the conv backward kernel and the pool backward
+        g_adj = (gy.astype(jnp.float32)
+                 + gs1.astype(jnp.float32).reshape(1, 1, 1, co)
+                 + 2.0 * y.astype(jnp.float32)
+                 * gs2.astype(jnp.float32).reshape(1, 1, 1, co)
+                 ).astype(x.dtype)
+        dx_conv, dK, db = _call_bwd(x, g_adj, K, Cin=Cin, Cc=Cc,
+                                    interpret=interpret)
+        _, pool_vjp = jax.vjp(
+            lambda xx: down_pool_packed(xx, pi, Cin, Cc), x)
+        dx_pool, = pool_vjp(g_adj.astype(jnp.float32))
+        return (dx_conv + dx_pool.astype(dx_conv.dtype),
+                dK.astype(K.dtype), db)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def downsampler_packed_stats(x, w_hwio, b, *, pi: int, interpret=None):
+    """Packed DownsamplerBlock conv+pool+bias in ONE kernel, returning
+    (y, s1, s2) where s1/s2 are the output's per-lane batch sum and
+    sum-of-squares (the following BatchNorm consumes them via
+    ops/packed.py:_bn_packed_coeffs_from_sums)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cin, cc = w_hwio.shape[2], w_hwio.shape[3]
+    K, bias = build_down_packed(w_hwio.astype(jnp.float32),
+                                b.astype(jnp.float32), pi)
+    return _down_op_st(cin, cc, int(pi), bool(interpret))(x, K, bias)
+
+
 def down_packed_supported(x_shape, pi: int) -> bool:
     b, h, wb, c = x_shape
     return (c % pi == 0 and pi % 2 == 0 and pi >= 2 and h % 2 == 0

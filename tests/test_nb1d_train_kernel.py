@@ -484,3 +484,41 @@ def test_upsampler_packed_stats_matches(pi, po, cin, cout):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=3e-4, atol=3e-3,
                                    err_msg=f"grad {name}")
+
+
+@pytest.mark.parametrize("pi,cin,cout", [(8, 16, 64), (2, 64, 128),
+                                         (32, 3, 16)])
+def test_downsampler_packed_stats_matches(pi, cin, cout):
+    """Pool+stats downsampler kernel: (y incl pool lanes, sum, sumsq)
+    values and grads vs the split conv-kernel + XLA-pool + XLA-stats
+    composition (exact pool ties included)."""
+    from erfnet_pytorch_tpu.ops.pallas.downsampler import (
+        downsampler_packed, downsampler_packed_stats)
+
+    rng = np.random.RandomState(pi)
+    B, H, W = 2, 16, 2 * pi
+    x = jnp.asarray(np.maximum(rng.randn(B, H, W, cin), 0)
+                    .astype(np.float32)).reshape(B, H, W // pi, pi * cin)
+    w = jnp.asarray(rng.randn(3, 3, cin, cout - cin) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(cout - cin) * 0.1, jnp.float32)
+
+    def ref(x, w, b):
+        y = downsampler_packed(x, w, b, pi=pi)
+        yf = y.astype(jnp.float32).reshape(-1, y.shape[-1])
+        return y, jnp.sum(yf, 0)[None], jnp.sum(yf * yf, 0)[None]
+
+    def fused(x, w, b):
+        return downsampler_packed_stats(x, w, b, pi=pi)
+
+    out_r, vjp_r = jax.vjp(ref, x, w, b)
+    out_f, vjp_f = jax.vjp(fused, x, w, b)
+    for got, want, name in zip(out_f, out_r, ("y", "s1", "s2")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-3, err_msg=name)
+    g = (jnp.asarray(rng.randn(*out_r[0].shape), jnp.float32),
+         jnp.asarray(rng.randn(*out_r[1].shape) * 0.01, jnp.float32),
+         jnp.asarray(rng.randn(*out_r[2].shape) * 0.01, jnp.float32))
+    for got, want, name in zip(vjp_f(g), vjp_r(g), "x w b".split()):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-3,
+                                   err_msg=f"grad {name}")
