@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--logdir", default="/tmp/prof_infer")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--with-logits", action="store_true",
@@ -44,7 +46,7 @@ def main():
                              use_pallas=not args.no_pallas,
                              preds_only=not args.with_logits)
     x = jax.random.uniform(jax.random.PRNGKey(1),
-                           (args.batch, 512, 1024, 3))
+                           (args.batch, args.height, args.width, 3))
 
     # the bench.py carry-chained step (what the headline number measures)
     @jax.jit

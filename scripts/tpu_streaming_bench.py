@@ -50,17 +50,18 @@ def main():
           f"out {out.shape} {out.dtype}", flush=True)
 
     if args.device_only:
+        # the shared carry-chain harness: serialize on-device via the data
+        # dependency, sync the host once per SHORT SEGMENT — a per-
+        # iteration float() costs a full tunnel RTT (measured ~30+ ms,
+        # which dominated the device's ~15 ms/img and made round-1's
+        # '48 ms/img device-side' a measurement artifact)
+        from erfnet_pytorch_tpu.utils.timing import timed_chain
+
         @jax.jit
         def dstep(carry):
             out = seg._step(images + carry * 0)
             return (out.astype(jnp.int32).sum() % 1024).astype(jnp.float32)
-        carry = dstep(jnp.float32(0))
-        float(carry)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            carry = dstep(carry)
-            float(carry)  # per-iteration host sync: bound the queue (tunnel policy)
-        dt = (time.perf_counter() - t0) / args.iters
+        dt = timed_chain(dstep, jnp.float32(0), args.iters, seg=4)
         print(f"device-only {args.height}x{args.width} batch={args.batch} "
               f"{dt * 1000:.1f} ms/batch  {args.batch / dt:.2f} img/s",
               flush=True)
