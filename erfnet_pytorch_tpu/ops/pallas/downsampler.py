@@ -421,9 +421,11 @@ def _down_op_st(Cin: int, Cc: int, pi: int, interpret: bool):
                  ).astype(x.dtype)
         dx_conv, dK, db = _call_bwd(x, g_adj, K, Cin=Cin, Cc=Cc,
                                     interpret=interpret)
+        # cotangent dtype must match down_pool_packed's output dtype
+        # (x.dtype — bf16 under the train step's compute_dtype)
         _, pool_vjp = jax.vjp(
             lambda xx: down_pool_packed(xx, pi, Cin, Cc), x)
-        dx_pool, = pool_vjp(g_adj.astype(jnp.float32))
+        dx_pool, = pool_vjp(g_adj)
         return (dx_conv + dx_pool.astype(dx_conv.dtype),
                 dK.astype(K.dtype), db)
 

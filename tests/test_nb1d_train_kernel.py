@@ -522,3 +522,65 @@ def test_downsampler_packed_stats_matches(pi, cin, cout):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=3e-4, atol=3e-3,
                                    err_msg=f"grad {name}")
+
+
+def test_downsampler_packed_stats_bf16_grads():
+    """bf16 activations through the stats downsampler must differentiate:
+    the pool-branch VJP inside the custom bwd takes an x.dtype cotangent
+    (a float32 cast there crashed the whole bf16 train step — the dtype
+    the train recipe actually runs)."""
+    from erfnet_pytorch_tpu.ops.pallas.downsampler import (
+        downsampler_packed_stats)
+
+    pi, cin, cout = 8, 16, 64
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 16, 2 * pi
+    xf = jnp.asarray(np.maximum(rng.randn(B, H, W, cin), 0)
+                     .astype(np.float32)).reshape(B, H, W // pi, pi * cin)
+    w = jnp.asarray(rng.randn(3, 3, cin, cout - cin) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(cout - cin) * 0.1, jnp.float32)
+
+    def loss(x, w, b):
+        y, s1, s2 = downsampler_packed_stats(x, w, b, pi=pi)
+        return (jnp.sum(y.astype(jnp.float32) ** 2)
+                + jnp.sum(s1) * 1e-3 + jnp.sum(s2) * 1e-4)
+
+    g16 = jax.grad(loss, argnums=(0, 1, 2))(xf.astype(jnp.bfloat16), w, b)
+    g32 = jax.grad(loss, argnums=(0, 1, 2))(xf, w, b)
+    assert g16[0].dtype == jnp.bfloat16
+    for a, e, name in zip(g16, g32, "x w b".split()):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(e), rtol=0.1,
+            atol=0.1 * float(np.abs(np.asarray(e)).max()),
+            err_msg=f"bf16 grad {name}")
+
+
+def test_train_step_fused_bf16_multistep_smoke():
+    """The SHIPPED hot-loop config end to end on tiny shapes: fused Pallas
+    kernels + flat carry + multi_step=2 + compute_dtype=bfloat16 (bench.py
+    measure_train).  Guards the bf16 dtype contracts of every custom VJP
+    on the path — an f32/bf16 cotangent mismatch in one kernel's bwd
+    crashed the real-chip benchmark while all-f32 tests stayed green."""
+    import numpy as np
+    from erfnet_pytorch_tpu.models import erfnet
+    from erfnet_pytorch_tpu.training import optim
+    from erfnet_pytorch_tpu.training.steps import (create_train_state,
+                                                   make_train_step)
+    from erfnet_pytorch_tpu.training.class_weights import DECODER_WEIGHTS
+
+    tx = optim.make_adam()
+    ts0 = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (2, 32, 64)).astype(np.int32))
+
+    with fused_train(True):
+        step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                               augment=True, compute_dtype=jnp.bfloat16,
+                               flat=True, multi_step=2)
+        fts = step.flatten(ts0)
+        fts, losses = step(fts, (images, images), (labels, labels),
+                           jax.random.PRNGKey(1))
+        assert losses.shape == (2,)
+        assert np.all(np.isfinite(np.asarray(losses)))
+        assert int(fts.step) == 2
