@@ -322,16 +322,47 @@ def downsampler_packed(x, w_hwio, b, *, pi: int,
 # in-kernel pool BACKWARD is what blew Mosaic's register allocator.
 # ---------------------------------------------------------------------------
 
+def _pool_selectors(pi, cin, cc, dtype):
+    """0/1 lane-shuffle matrices for the in-kernel pool, built from iota
+    comparisons (Pallas kernels cannot capture array constants).  Mosaic
+    cannot shape-cast the lane dimension (reshaping (.., pi*cin) to
+    (.., s_out, 2, cin) fails infer-vector-layout on v5e), so the W-pair
+    gather and the output-lane placement run as tiny MXU matmuls instead:
+    S0/S1 pick the even/odd W-parity lanes, E embeds the pooled lanes at
+    their (cc-offset) slots of each output group."""
+    s_out = pi // 2
+    ct = cc + cin
+    C, K = pi * cin, s_out * cin
+
+    def one_hot(rows, cols, src_of_col):
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        k = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        return (r == src_of_col(k)).astype(dtype)
+
+    S0 = one_hot(C, K, lambda k: (k // cin) * 2 * cin + k % cin)
+    S1 = one_hot(C, K, lambda k: (k // cin) * 2 * cin + cin + k % cin)
+    E = one_hot(K, s_out * ct, lambda j: jnp.where(
+        j % ct >= cc, (j // ct) * cin + j % ct - cc, -1))
+    return S0, S1, E
+
+
 def _down_pool_lanes(x, H2, Wb, pi, cin, cc):
     """In-kernel 2x2 max-pool of one W-packed image into the kernel's
     output lane layout (zeros over the conv lanes) — the single-image
-    mirror of down_pool_packed, same W-pairs-then-rows associativity."""
+    mirror of down_pool_packed, same W-pairs-then-rows associativity.
+    Lane movement is selector matmuls (exact: each column has at most one
+    1, so the MXU copies values bit-for-bit even in bf16); reshapes touch
+    only leading dims, which Mosaic lowers."""
     s_out = pi // 2
-    mw = jnp.max(x.reshape(2 * H2, Wb, s_out, 2, cin), axis=3)
-    mp = jnp.max(mw.reshape(H2, 2, Wb, s_out, cin), axis=1)
-    z = jnp.zeros((H2, Wb, s_out, cc), mp.dtype)
-    return jnp.concatenate([z, mp], axis=-1).reshape(
-        H2, Wb, s_out * (cc + cin))
+    S0, S1, E = _pool_selectors(pi, cin, cc, x.dtype)
+    xm = x.reshape(2 * H2 * Wb, pi * cin)
+    a = jnp.dot(xm, S0, preferred_element_type=jnp.float32)
+    b = jnp.dot(xm, S1, preferred_element_type=jnp.float32)
+    mw = jnp.maximum(a, b).reshape(H2, 2, Wb, s_out * cin)
+    mp = jnp.maximum(mw[:, 0], mw[:, 1])           # row pair
+    out = jnp.dot(mp.reshape(H2 * Wb, s_out * cin), E.astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    return out.reshape(H2, Wb, s_out * (cc + cin))
 
 
 def _down_fwd_kernel_st(x_ref, K, bias, out_ref, s1_ref, s2_ref, *,
