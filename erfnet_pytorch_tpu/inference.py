@@ -43,8 +43,12 @@ _MAX_MAP_ELEMS = 64 * 128 * 128 * 4  # = 4 MB bf16 x2 buffers headroom
 # channel -> space-to-depth pack factor giving 128 lanes
 _PACK = {128: 1, 64: 2, 16: 8}
 
-# DownsamplerBlock input channels -> W-pack factor (>= 96 matmul lanes)
-_DOWN_PI = {3: 32, 16: 8, 64: 2}
+# DownsamplerBlock input channels -> W-pack factor.  The packed lane dim
+# pi*cin must be a multiple of 128: Mosaic cannot DMA row windows of a
+# memref whose minor dim isn't lane-tile aligned (the blocked eval kernel
+# slices rows out of the HBM-resident map), so the stem packs 128 columns
+# (C = 384 = 3 lane tiles; bigger MXU tiles as a bonus).
+_DOWN_PI = {3: 128, 16: 8, 64: 2}
 
 
 def resolve_use_pallas(flag):
@@ -69,13 +73,15 @@ def add_pallas_flag(parser):
 
 def _apply_down_packed_eval(p, s, x, dtype, interpret):
     """DownsamplerBlock (conv || maxpool -> BN -> relu) via the packed
-    Pallas conv kernel, eval mode.  Returns None when the shape doesn't
-    fit the kernel (caller falls back to the XLA block).  Profiling: the
-    XLA stem (3->16 conv + pool + relayouts) cost ~4.5 ms/step at batch 8
-    512x1024 — the strided conv on 3 channels is layout-copy-bound."""
-    from .ops.pallas.downsampler import (downsampler_packed,
-                                         down_packed_supported)
-    from .ops.batchnorm import batch_norm
+    Pallas eval kernel: conv + pool + folded running-stat BN + ReLU in
+    ONE h-blocked kernel (whole map = one h-block; 1024x2048 streaming
+    maps split on H with a 1-output-row top halo).  Returns None when the
+    shape doesn't fit (caller falls back to the XLA block).  Profiling:
+    the XLA stem (3->16 conv + pool + relayouts) cost ~4.5 ms/step at
+    batch 8 512x1024, and the three XLA downsamplers ~10 ms of the
+    14.9 ms device step at 1024x2048 batch 1."""
+    from .ops.pallas.downsampler import (downsampler_packed_eval,
+                                         down_packed_eval_supported)
     from .models.erfnet import BN_EPS
 
     B, H, W, cin = x.shape
@@ -83,14 +89,15 @@ def _apply_down_packed_eval(p, s, x, dtype, interpret):
     if pi is None or W % pi or H % 2:
         return None
     X = x.astype(dtype).reshape(B, H, W // pi, pi * cin)
-    if not down_packed_supported(X.shape, pi):
+    cc = p["conv"]["w"].shape[-1]
+    if not down_packed_eval_supported(X.shape, pi, cc, _MAX_MAP_ELEMS):
         return None
-    cout = p["conv"]["w"].shape[-1] + cin
-    y = downsampler_packed(X, p["conv"]["w"], p["conv"]["b"], pi=pi,
-                           interpret=interpret)
-    y = y.reshape(B, H // 2, W // 2, cout)
-    y, bns = batch_norm(y, p["bn"], s["bn"], train=False, eps=BN_EPS)
-    return jax.nn.relu(y), {"bn": bns}
+    y = downsampler_packed_eval(X, p["conv"]["w"], p["conv"]["b"],
+                                p["bn"]["scale"], p["bn"]["bias"],
+                                s["bn"]["mean"], s["bn"]["var"], pi=pi,
+                                eps=BN_EPS, max_elems=_MAX_MAP_ELEMS,
+                                interpret=interpret)
+    return y.reshape(B, H // 2, W // 2, cc + cin), {"bn": s["bn"]}
 
 
 def _prepare(layers_params, layers_state, specs, dtype):

@@ -482,3 +482,144 @@ def down_packed_supported(x_shape, pi: int) -> bool:
     return (c % pi == 0 and pi % 2 == 0 and pi >= 2 and h % 2 == 0
             and h * wb * c <= 2 * 1024 * 1024 and (c // pi) * pi == c
             and b % spmd.data_shards() == 0)
+
+
+# ---------------------------------------------------------------------------
+# Eval variant, h-blocked for big maps (1024x2048 streaming — SURVEY.md §7
+# config 5): conv + in-kernel pool + folded eval-BatchNorm (running stats
+# are a fixed per-channel affine at inference) + ReLU in ONE kernel, grid
+# (B, Ho/Ro).  The 3x3 s2 p1 conv reads one input row ABOVE each output
+# row pair and none below, so the halo is 1 OUTPUT row on the top edge
+# only; the window start stays even to preserve the kernel's r0/r1 row
+# parity.  Whole-map-sized inputs take the same kernel with one h-block.
+# Profiled motivation: at 1024x2048 the three XLA-fallback downsampler
+# blocks cost ~10 ms of the 14.9 ms device step (stem conv 3.15 + stem
+# pool 2.0 + concat/BN 1.66 + down2 conv 2.12 + down2 pool 1.09 ...).
+# ---------------------------------------------------------------------------
+
+def _down_blocked_rows(Ho, Wb, C, co, max_elems):
+    """Kept OUTPUT rows Ro per h-block: per output row the window holds
+    2 input rows (2*Wb*C elems) + 1 output row (Wb*co); the (Ro + 1)-row
+    window must fit the budget, Ro % 8 == 0 (sublane-aligned dynamic
+    slice), and Ro must divide Ho.  0 when no such Ro exists."""
+    W_elems = 2 * Wb * C + Wb * co
+    R = min(Ho, max_elems // W_elems - 1)
+    R -= R % 8
+    while R >= 8 and Ho % R:
+        R -= 8
+    return max(R, 0)
+
+
+def _down_eval_kernel_blocked(x_hbm, K, bias, scale, shift, out_ref,
+                              scratch, ybuf, sem, *, Ro, Rwo, Ho, Wb,
+                              Cin, Cc):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    s = j * Ro
+    w_s = jnp.clip(s - 1, 0, Ho - Rwo)
+    dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(2 * w_s, 2 * Rwo)],
+                                scratch, sem)
+    dma.start()
+    dma.wait()
+    x = scratch[:]                                  # (2*Rwo, Wb, C)
+    C = x.shape[-1]
+    pi = C // Cin
+    s_out = pi // 2
+    ct = Cc + Cin
+    r0, r1 = _split_rows(x, Rwo, Wb, C)
+    # row correctness: _hshift's zero-fill on the window's first output
+    # row IS the conv padding iff w_s == 0 (the true top edge); interior
+    # windows drop that row via the kept-slice offset s - w_s == 1.
+    A = (_hshift(r1, -1), r0, r1)
+    Kc = K[:].astype(x.dtype)
+    acc = None
+    for mh in range(3):
+        af = A[mh].reshape(Rwo * Wb, C)
+        for qi, q in ((0, 0), (1, -1)):
+            m = jnp.dot(af, Kc[mh, qi],
+                        preferred_element_type=jnp.float32)
+            m = _bshift(m.reshape(Rwo, Wb, s_out * ct), q)
+            acc = m if acc is None else acc + m
+    y = acc + bias[:] + _down_pool_lanes(x, Rwo, Wb, pi, Cin, Cc)
+    y = jnp.maximum(y * scale[:] + shift[:], 0.0)
+    ybuf[:] = y.astype(ybuf.dtype)
+    out_ref[0] = ybuf[pl.ds(s - w_s, Ro)]
+
+
+def _call_down_eval_blocked(x, K, bias, scale, shift, *, Cin, Cc, Ro,
+                            interpret):
+    B, H, Wb, C = x.shape
+    Ho = H // 2
+    co = K.shape[-1]
+    nH = Ho // Ro
+    Rwo = min(Ho, Ro + 1)
+    kernel = functools.partial(_down_eval_kernel_blocked, Ro=Ro, Rwo=Rwo,
+                               Ho=Ho, Wb=Wb, Cin=Cin, Cc=Cc)
+    v = pltpu.VMEM
+    vec = lambda n: pl.BlockSpec((n,), lambda b, j: (0,), memory_space=v)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nH),
+        in_specs=[
+            # pin to HBM: with pl.ANY the compiler stages maps that fit in
+            # VMEM, where memref_slice demands 128-aligned lane dims — the
+            # stem's packed C = 96 then fails to lower; HBM is untiled so
+            # the row-window DMA is shape-free (and skips the staging copy)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(K.shape, lambda b, j: (0,) * 4, memory_space=v),
+            vec(co), vec(co), vec(co),
+        ],
+        out_specs=pl.BlockSpec((1, Ro, Wb, co), lambda b, j: (b, j, 0, 0),
+                               memory_space=v),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wb, co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * Rwo, Wb, C), x.dtype),
+            pltpu.VMEM((Rwo, Wb, co), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * Ho * Wb * C * co * Rwo // Ro,
+            bytes_accessed=(2 * Rwo * nH + Ho) * Wb
+            * max(C, co) * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, K, bias, scale, shift)
+
+
+@functools.partial(jax.jit, static_argnames=("pi", "eps", "max_elems",
+                                             "interpret"))
+def downsampler_packed_eval(x, w_hwio, b, gamma, beta, mean, var, *,
+                            pi: int, eps: float, max_elems: int,
+                            interpret: Optional[bool] = None):
+    """Whole eval DownsamplerBlock (conv || pool -> BN(running stats) ->
+    ReLU, `train/erfnet.py:DownsamplerBlock` in eval mode) as one
+    h-blocked Pallas kernel.  x (B, H, Wb, pi*Cin) W-packed; returns
+    (B, H/2, Wb, (pi/2)*Cout) ready for the next stage's free regroup."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cin, cc = w_hwio.shape[2], w_hwio.shape[3]
+    K, bias = build_down_packed(w_hwio.astype(jnp.float32),
+                                b.astype(jnp.float32), pi)
+    inv = (gamma.astype(jnp.float32)
+           * jax.lax.rsqrt(var.astype(jnp.float32) + eps))
+    sft = beta.astype(jnp.float32) - mean.astype(jnp.float32) * inv
+    s_vec = jnp.tile(inv, pi // 2)
+    t_vec = jnp.tile(sft, pi // 2)
+    B, H, Wb, C = x.shape
+    co = (pi // 2) * (cc + cin)
+    Ro = _down_blocked_rows(H // 2, Wb, C, co, max_elems)
+    call = functools.partial(_call_down_eval_blocked, Cin=cin, Cc=cc,
+                             Ro=Ro, interpret=bool(interpret))
+    return spmd.shard_batch_call(
+        call, (True,) + (False,) * 4)(x, K, bias, s_vec, t_vec)
+
+
+def down_packed_eval_supported(x_shape, pi: int, cc: int,
+                               max_elems: int) -> bool:
+    b, h, wb, c = x_shape
+    if not (pi % 2 == 0 and pi >= 2 and c % pi == 0 and h % 2 == 0
+            and b % spmd.data_shards() == 0):
+        return False
+    co = (pi // 2) * (cc + c // pi)
+    return _down_blocked_rows(h // 2, wb, c, co, max_elems) >= 8

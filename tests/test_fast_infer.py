@@ -174,6 +174,48 @@ def test_down_packed_eval_matches_xla_block():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_down_packed_eval_blocked_matches_xla_block():
+    """H-blocked eval downsampler kernel (small forced VMEM budget ->
+    multiple h-blocks with the 1-output-row top halo) == XLA block, for
+    all three channel configs.  Checks the j==0 top edge (zero-fill IS
+    the conv pad), interior kept-row offsets, and the folded BN+ReLU."""
+    from erfnet_pytorch_tpu.ops.pallas.downsampler import (
+        downsampler_packed_eval, down_packed_eval_supported,
+        _down_blocked_rows)
+    from erfnet_pytorch_tpu.models.erfnet import (init_downsampler,
+                                                  apply_downsampler, BN_EPS)
+    pis = {3: 128, 16: 8, 64: 2}
+    for i, (cin, cout, h, w) in enumerate([(3, 16, 64, 256),
+                                           (16, 64, 64, 128),
+                                           (64, 128, 32, 64)]):
+        p, s = init_downsampler(jax.random.PRNGKey(i), cin, cout)
+        p = dict(p, bn={"scale": 1.0 + 0.1 * jax.random.normal(
+                            jax.random.PRNGKey(i + 40), (cout,)),
+                        "bias": jax.random.normal(
+                            jax.random.PRNGKey(i + 50), (cout,)) * 0.1})
+        s = {"bn": {"mean": jax.random.normal(jax.random.PRNGKey(i + 10),
+                                              (cout,)) * 0.1,
+                    "var": jnp.abs(jax.random.normal(
+                        jax.random.PRNGKey(i + 20), (cout,))) + 0.5}}
+        x = jax.random.normal(jax.random.PRNGKey(i + 30), (2, h, w, cin))
+        pi = pis[cin]
+        X = x.reshape(2, h, w // pi, pi * cin)
+        # budget small enough to force >= 2 h-blocks but >= 8 kept rows
+        co = (pi // 2) * (cout)
+        budget = (2 * (w // pi) * pi * cin + (w // pi) * co) * (h // 4 + 2)
+        assert down_packed_eval_supported(X.shape, pi, cout - cin, budget)
+        assert _down_blocked_rows(h // 2, w // pi, pi * cin, co,
+                                  budget) < h // 2, "want multiple blocks"
+        y = downsampler_packed_eval(
+            X, p["conv"]["w"], p["conv"]["b"], p["bn"]["scale"],
+            p["bn"]["bias"], s["bn"]["mean"], s["bn"]["var"], pi=pi,
+            eps=BN_EPS, max_elems=budget, interpret=True)
+        y = y.reshape(2, h // 2, w // 2, cout)
+        ref, _ = apply_downsampler(p, s, x, train=False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_fast_argmax_matches_jnp_argmax():
     from erfnet_pytorch_tpu.inference import fast_argmax
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 9, 20))
