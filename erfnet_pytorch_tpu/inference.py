@@ -100,6 +100,32 @@ def _apply_down_packed_eval(p, s, x, dtype, interpret):
     return y.reshape(B, H // 2, W // 2, cc + cin), {"bn": s["bn"]}
 
 
+def _apply_ups_packed_eval(p, s, x, dtype, interpret):
+    """UpsamplerBlock (ConvTranspose2d -> BN -> relu) via the packed
+    h-blocked Pallas eval kernel (BN folded into the tap matrix).
+    Returns None when the shape doesn't fit (caller falls back to XLA
+    conv_transpose).  Profiling: the two XLA upsamplers + their relayout
+    copies cost ~2.6 ms of the 6.2 ms device step at 1024x2048 batch 1."""
+    from .ops.pallas.upsampler import (upsampler_packed_eval,
+                                       ups_packed_eval_supported)
+    from .models.erfnet import BN_EPS
+
+    B, H, W, cin = x.shape
+    cout = p["conv"]["w"].shape[-1]
+    pi, po = _PACK.get(cin), _PACK.get(cout)
+    if pi is None or po is None or W % pi:
+        return None
+    X = x.astype(dtype).reshape(B, H, W // pi, pi * cin)
+    if not ups_packed_eval_supported(X.shape, pi, po, cout, _MAX_MAP_ELEMS):
+        return None
+    y = upsampler_packed_eval(X, p["conv"]["w"], p["conv"]["b"],
+                              p["bn"]["scale"], p["bn"]["bias"],
+                              s["bn"]["mean"], s["bn"]["var"], pi=pi, po=po,
+                              eps=BN_EPS, max_elems=_MAX_MAP_ELEMS,
+                              interpret=interpret)
+    return y.reshape(B, 2 * H, 2 * W, cout), {"bn": s["bn"]}
+
+
 def _prepare(layers_params, layers_state, specs, dtype):
     """Per-layer fused weights for every NB1d block."""
     prepared = {}
@@ -171,6 +197,9 @@ def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
                 Wcat, bias = up_matmuls[i]
                 return apply_upsampler_matmul(x.astype(dtype), Wcat, bias,
                                               relu=True), state
+            out = _apply_ups_packed_eval(params, state, x, dtype, interpret)
+            if out is not None:
+                return out
             return apply_upsampler(params, state, x, train=False,
                                    compute_dtype=dtype)
         c, _drop, dil = spec

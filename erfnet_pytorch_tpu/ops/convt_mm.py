@@ -37,7 +37,7 @@ def _fold(w, b, bn_params=None, bn_state=None, eps=1e-3):
 
 
 def build_upsampler_matmul(w_hwio, b, bn_params=None, bn_state=None,
-                           dtype=jnp.float32):
+                           dtype=jnp.float32, eps=1e-3):
     """ConvTranspose2d(Cin, Cout, 3, s2, p1, op1) [+ folded BN] ->
     (Wcat (4Cin, 4Cout), bias (4Cout,)).
 
@@ -45,7 +45,7 @@ def build_upsampler_matmul(w_hwio, b, bn_params=None, bn_state=None,
     row-major.  w_hwio is the forward-conv-equivalent HWIO storage of
     ops/conv.py (spatially flipped torch weight).  Pure jnp — traceable and
     differentiable, so the training path can use it under grad."""
-    w, b = _fold(w_hwio, b, bn_params, bn_state)
+    w, b = _fold(w_hwio, b, bn_params, bn_state, eps=eps)
     kh, kw, cin, cout = w.shape
     assert (kh, kw) == (3, 3)
     Wcat = jnp.zeros((4 * cin, 4 * cout), jnp.float32)

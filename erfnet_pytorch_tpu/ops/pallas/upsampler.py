@@ -444,3 +444,132 @@ def upsampler_packed_stats(x, w_hwio, b, *, pi: int, po: int,
     K, bias = build_ups_packed(Wcat, bias4, pi, po)
     return _ups_op_st(bool(interpret))(x, K.astype(jnp.float32),
                                        bias.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Eval variant, h-blocked for big maps: ConvTranspose + folded running-stat
+# BN (into the tap matrix, via build_upsampler_matmul's bn args) + ReLU in
+# one kernel, grid (B, H/R).  The s2 k3 p1 op1 transposed conv reads input
+# rows i and i+1 for output packed-row i, so the halo is 1 input row on
+# the BOTTOM edge only (the in-kernel _hshift zero-fill at the window's
+# last row IS the conv padding iff the window ends at the true bottom;
+# interior windows drop that row via the kept-slice).  Profiled
+# motivation: the two XLA conv_transpose upsamplers + their relayout
+# copies cost ~2.6 ms of the 6.2 ms device step at 1024x2048 batch 1.
+# ---------------------------------------------------------------------------
+
+def _ups_blocked_rows(H, Wb, Ci, Wbo, Co, max_elems):
+    """Kept packed-H rows R per block: per row the window holds 1 input
+    row (Wb*Ci) + 2 output parity rows (2*Wbo*Co); R % 8 == 0, R | H."""
+    W_elems = Wb * Ci + 2 * Wbo * Co
+    cap = max_elems // W_elems
+    R = H if cap >= H else cap - 1      # whole map needs no halo row
+    R -= R % 8
+    while R >= 8 and H % R:
+        R -= 8
+    return max(R, 0)
+
+
+def _ups_eval_kernel_blocked(x_hbm, K, bias, out_ref, scratch, ybuf, sem,
+                             *, R, Rw, H, Wbo, Chm, Co):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    s = j * R
+    w_s = jnp.clip(s, 0, H - Rw)
+    dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(w_s, Rw)], scratch, sem)
+    dma.start()
+    dma.wait()
+    x = scratch[:]                             # (Rw, Wb, Ci)
+    xf = x.reshape(Rw, Wbo, Chm).reshape(Rw * Wbo, Chm)
+    Kc = K[:].astype(x.dtype)
+    bia = bias[:].astype(jnp.float32)
+    for a in (0, 1):
+        acc = None
+        for qh in (0, 1):
+            for qw in (0, 1):
+                m = jnp.dot(xf, Kc[a, qh, qw],
+                            preferred_element_type=jnp.float32)
+                m = m.reshape(Rw, Wbo, Co)
+                if qh:
+                    m = _hshift(m, qh)
+                if qw:
+                    m = _bshift(m, qw)
+                acc = m if acc is None else acc + m
+        ybuf[:, a] = jnp.maximum(acc + bia, 0.0).astype(ybuf.dtype)
+    out_ref[0] = ybuf[pl.ds(s - w_s, R)]
+
+
+def _call_ups_eval_blocked(x, K, bias, *, R, interpret):
+    B, H, Wb, Ci = x.shape
+    Chm, Co = K.shape[3], K.shape[4]
+    Wbo = (Wb * Ci) // Chm
+    nH = H // R
+    Rw = min(H, R + 1)
+    kernel = functools.partial(_ups_eval_kernel_blocked, R=R, Rw=Rw, H=H,
+                               Wbo=Wbo, Chm=Chm, Co=Co)
+    v = pltpu.VMEM
+    out5 = pl.pallas_call(
+        kernel,
+        grid=(B, nH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(K.shape, lambda b, j: (0,) * 5, memory_space=v),
+            pl.BlockSpec((Co,), lambda b, j: (0,), memory_space=v),
+        ],
+        out_specs=pl.BlockSpec((1, R, 2, Wbo, Co),
+                               lambda b, j: (b, j, 0, 0, 0),
+                               memory_space=v),
+        out_shape=jax.ShapeDtypeStruct((B, H, 2, Wbo, Co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Rw, Wb, Ci), x.dtype),
+            pltpu.VMEM((Rw, 2, Wbo, Co), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * 2 * H * Wbo * Chm * Co * Rw // R,
+            bytes_accessed=(Rw * nH + 2 * H) * Wb * Ci * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, K, bias)
+    return out5.reshape(B, 2 * H, Wbo, Co)
+
+
+@functools.partial(jax.jit, static_argnames=("pi", "po", "eps", "max_elems",
+                                             "interpret"))
+def upsampler_packed_eval(x, w_hwio, b, gamma, beta, mean, var, *, pi: int,
+                          po: int, eps: float, max_elems: int,
+                          interpret: Optional[bool] = None):
+    """Whole eval UpsamplerBlock (ConvTranspose2d k3 s2 p1 op1 -> BN with
+    running stats -> ReLU, ``train/erfnet.py:UpsamplerBlock`` in eval
+    mode) as one h-blocked Pallas kernel, packed-in/packed-out.
+    x (B, H, Wb, pi*Cin) -> (B, 2H, Wbo, po*Cout)."""
+    from ..convt_mm import build_upsampler_matmul
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    Wcat, bias4 = build_upsampler_matmul(
+        w_hwio, b, {"scale": gamma, "bias": beta},
+        {"mean": mean, "var": var}, eps=eps)
+    K, bias = build_ups_packed(Wcat, bias4, pi, po)
+    B, H, Wb, Ci = x.shape
+    half = po // 2
+    Chm = half * (Ci // pi)
+    Wbo = (Wb * Ci) // Chm
+    Co = K.shape[-1]
+    R = _ups_blocked_rows(H, Wb, Ci, Wbo, Co, max_elems)
+    call = functools.partial(_call_ups_eval_blocked, R=R,
+                             interpret=bool(interpret))
+    return spmd.shard_batch_call(call, (True, False, False))(
+        x, K.astype(jnp.float32), bias.astype(jnp.float32))
+
+
+def ups_packed_eval_supported(x_shape, pi: int, po: int, cout: int,
+                              max_elems: int) -> bool:
+    b, h, wb, ci = x_shape
+    half = po // 2
+    if not (ci % 128 == 0 and half % pi == 0 and (wb * pi * 2) % po == 0
+            and b % spmd.data_shards() == 0):
+        return False
+    chm = half * (ci // pi)
+    wbo = (wb * ci) // chm
+    return _ups_blocked_rows(h, wb, ci, wbo, po * cout, max_elems) >= 8

@@ -216,6 +216,50 @@ def test_down_packed_eval_blocked_matches_xla_block():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_ups_packed_eval_blocked_matches_xla_block():
+    """H-blocked eval upsampler kernel (BN folded into the tap matrix,
+    in-kernel ReLU; 1-input-row BOTTOM halo) == XLA conv_transpose block,
+    whole-map and forced-multi-block."""
+    from erfnet_pytorch_tpu.ops.pallas.upsampler import (
+        upsampler_packed_eval, ups_packed_eval_supported, _ups_blocked_rows)
+    from erfnet_pytorch_tpu.models.erfnet import (init_upsampler,
+                                                  apply_upsampler, BN_EPS)
+    pack = {128: 1, 64: 2, 16: 8}
+    for i, (cin, cout, h, w) in enumerate([(128, 64, 16, 64),
+                                           (64, 16, 32, 128)]):
+        p, s = init_upsampler(jax.random.PRNGKey(i), cin, cout)
+        p = dict(p, bn={"scale": 1.0 + 0.1 * jax.random.normal(
+                            jax.random.PRNGKey(i + 40), (cout,)),
+                        "bias": jax.random.normal(
+                            jax.random.PRNGKey(i + 50), (cout,)) * 0.1})
+        s = {"bn": {"mean": jax.random.normal(jax.random.PRNGKey(i + 10),
+                                              (cout,)) * 0.1,
+                    "var": jnp.abs(jax.random.normal(
+                        jax.random.PRNGKey(i + 20), (cout,))) + 0.5}}
+        x = jax.random.normal(jax.random.PRNGKey(i + 30), (2, h, w, cin))
+        ref, _ = apply_upsampler(p, s, x, train=False)
+        pi, po = pack[cin], pack[cout]
+        X = x.reshape(2, h, w // pi, pi * cin)
+        for budget in (1 << 24, None):
+            if budget is None:
+                # force >= 2 h-blocks (bottom-halo + kept-offset path)
+                chm = (po // 2) * cin
+                wbo = ((w // pi) * pi * cin) // chm
+                W_elems = (w // pi) * pi * cin + 2 * wbo * po * cout
+                budget = W_elems * (h // 2 + 1)
+                assert _ups_blocked_rows(h, w // pi, pi * cin, wbo,
+                                         po * cout, budget) < h
+            assert ups_packed_eval_supported(X.shape, pi, po, cout, budget)
+            y = upsampler_packed_eval(
+                X, p["conv"]["w"], p["conv"]["b"], p["bn"]["scale"],
+                p["bn"]["bias"], s["bn"]["mean"], s["bn"]["var"], pi=pi,
+                po=po, eps=BN_EPS, max_elems=budget, interpret=True)
+            y = y.reshape(2, 2 * h, 2 * w, cout)
+            assert y.shape == ref.shape
+            np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_fast_argmax_matches_jnp_argmax():
     from erfnet_pytorch_tpu.inference import fast_argmax
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 9, 20))
