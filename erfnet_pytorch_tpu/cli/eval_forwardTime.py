@@ -61,10 +61,16 @@ def benchmark(params, batch_stats, *, batch_size, height, width,
         _logits, pred = infer(params, batch_stats, x + carry * 0.0)
         return (pred.sum() % 1024).astype(jnp.float32)
 
-    # timed_chain runs one warm segment itself; honor larger --warmup
+    # timed_chain runs one warm segment itself; honor larger --warmup.
+    # Sync the carry to host every few dispatches: a flood of un-synced
+    # dispatches can wedge this environment's TPU tunnel (CLAUDE.md), and
+    # the carry chain only serializes on-device — it does not bound the
+    # host-side queue.
     carry = jnp.float32(0)
-    for _ in range(max(warmup - 10, 0)):
+    for i in range(max(warmup - timed_chain.WARM_SEGMENT, 0)):
         carry = step(carry)
+        if i % 8 == 7:
+            carry = jnp.float32(float(carry))
     return timed_chain(step, carry, iterations)
 
 

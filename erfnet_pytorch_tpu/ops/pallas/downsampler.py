@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .stats import emit_stats
 from .upsampler import _hshift, _bshift
 
 from ...parallel import spmd
@@ -373,21 +374,8 @@ def _down_fwd_kernel_st(x_ref, K, bias, out_ref, s1_ref, s2_ref, *,
     y = out_ref[0] + _down_pool_lanes(x, H2, Wb, pi, Cin,
                                       Cc).astype(out_ref.dtype)
     out_ref[0] = y
-    i = pl.program_id(0)
     yf = y.astype(jnp.float32).reshape(H2 * Wb, -1)
-    s1 = jnp.sum(yf, axis=0).reshape(1, -1)
-    s2 = jnp.sum(yf * yf, axis=0).reshape(1, -1)
-    first = i == 0
-
-    @pl.when(first)
-    def _():
-        s1_ref[:] = s1
-        s2_ref[:] = s2
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        s1_ref[:] = s1_ref[:] + s1
-        s2_ref[:] = s2_ref[:] + s2
+    emit_stats(yf, s1_ref, s2_ref, pl.program_id(0) == 0)
 
 
 def _call_fwd_st(x, K, bias, *, Cin, Cc, interpret):
@@ -587,8 +575,8 @@ def _call_down_eval_blocked(x, K, bias, scale, shift, *, Cin, Cc, Ro,
     )(x, K, bias, scale, shift)
 
 
-@functools.partial(jax.jit, static_argnames=("pi", "eps", "max_elems",
-                                             "interpret"))
+@spmd.mesh_keyed_jit(static_argnames=("pi", "eps", "max_elems",
+                                      "interpret"))
 def downsampler_packed_eval(x, w_hwio, b, gamma, beta, mean, var, *,
                             pi: int, eps: float, max_elems: int,
                             interpret: Optional[bool] = None):

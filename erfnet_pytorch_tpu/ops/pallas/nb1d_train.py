@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...parallel import spmd
+from .stats import acc as _acc, emit_stats as _emit_stats_flat
 
 # ---------------------------------------------------------------------------
 # Enable switch: auto = fused kernels on TPU, plain-XLA path on CPU (the
@@ -297,16 +298,6 @@ def _pair_bwd_core(t0, g, whc, wwc, bh_f32, *, sh, sw):
     return dt0, dwh, dbh, dww, dbw
 
 
-def _acc(ref, val, first):
-    @pl.when(first)
-    def _():
-        ref[:] = val
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        ref[:] = ref[:] + val
-
-
 def _emit_stats(z_ref, s1_ref, s2_ref):
     """Accumulate batch sum / sum-of-squares of the just-written output
     block across the batch grid — the cross-batch BatchNorm statistics
@@ -314,9 +305,7 @@ def _emit_stats(z_ref, s1_ref, s2_ref):
     b = pl.program_id(0)
     z = z_ref[0].astype(jnp.float32)
     zf = z.reshape(z.shape[0] * z.shape[1], z.shape[2])
-    first = b == 0
-    _acc(s1_ref, jnp.sum(zf, axis=0).reshape(1, -1), first)
-    _acc(s2_ref, jnp.sum(zf * zf, axis=0).reshape(1, -1), first)
+    _emit_stats_flat(zf, s1_ref, s2_ref, b == 0)
 
 
 def _adjust_g(g, z_ref, gs1, gs2):

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...parallel import spmd
+from .stats import emit_stats
 
 
 @functools.lru_cache(maxsize=None)
@@ -297,19 +298,8 @@ def ups_packed_supported(x_shape, pi: int, po: int) -> bool:
 def _ups_fwd_kernel_st(x_ref, K, bias, out_ref, s1_ref, s2_ref, *,
                        H, Wbo, Chm, Co):
     _ups_fwd_kernel(x_ref, K, bias, out_ref, H=H, Wbo=Wbo, Chm=Chm, Co=Co)
-    i = pl.program_id(0)
     z = out_ref[0].astype(jnp.float32).reshape(H * 2 * Wbo, Co)
-    first = i == 0
-
-    @pl.when(first)
-    def _():
-        s1_ref[:] = jnp.sum(z, axis=0).reshape(1, Co)
-        s2_ref[:] = jnp.sum(z * z, axis=0).reshape(1, Co)
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        s1_ref[:] = s1_ref[:] + jnp.sum(z, axis=0).reshape(1, Co)
-        s2_ref[:] = s2_ref[:] + jnp.sum(z * z, axis=0).reshape(1, Co)
+    emit_stats(z, s1_ref, s2_ref, pl.program_id(0) == 0)
 
 
 def _ups_bwd_kernel_st(x_ref, g_ref, z_ref, gs1, gs2, K, dx_ref, dK_ref,
@@ -535,8 +525,8 @@ def _call_ups_eval_blocked(x, K, bias, *, R, interpret):
     return out5.reshape(B, 2 * H, Wbo, Co)
 
 
-@functools.partial(jax.jit, static_argnames=("pi", "po", "eps", "max_elems",
-                                             "interpret"))
+@spmd.mesh_keyed_jit(static_argnames=("pi", "po", "eps", "max_elems",
+                                      "interpret"))
 def upsampler_packed_eval(x, w_hwio, b, gamma, beta, mean, var, *, pi: int,
                           po: int, eps: float, max_elems: int,
                           interpret: Optional[bool] = None):

@@ -27,6 +27,7 @@ identity and the kernels run exactly as before.
 
 from __future__ import annotations
 
+import functools
 from contextlib import contextmanager
 from typing import Callable, Optional, Sequence, Tuple
 
@@ -75,6 +76,40 @@ def data_shards() -> int:
     by this so they validate the PER-SHARD shapes the kernels will see."""
     mesh, axis = active()
     return 1 if mesh is None else mesh.shape[axis]
+
+
+def mesh_keyed_jit(*, static_argnames: Sequence[str] = ()) -> Callable:
+    """``jax.jit`` whose cache is ALSO keyed on the registered mesh.
+
+    A module-level ``@jax.jit`` around a function that calls
+    ``shard_batch_call`` reads ``_STATE`` at trace time only — if
+    ``set_mesh`` changes between two same-shape calls, the plain jit
+    replays the stale (un)sharded executable.  This decorator keeps one
+    jit cache per ``active()`` registration, so a mesh change triggers a
+    fresh trace (``Mesh`` is hashable)."""
+    def wrap(f: Callable) -> Callable:
+        jits = {}
+
+        @functools.wraps(f)
+        def g(*args, **kwargs):
+            key = active()
+            jf = jits.get(key)
+            if jf is None:
+                # a FRESH function object per key: jax.jit(f) on the same
+                # `f` twice shares the global tracing cache, so the second
+                # wrapper would replay the first key's trace (and its
+                # baked-in mesh state) instead of re-tracing
+                def f_for_key(*a, **kw):
+                    return f(*a, **kw)
+
+                jf = jax.jit(f_for_key,
+                             static_argnames=tuple(static_argnames))
+                jits[key] = jf
+            return jf(*args, **kwargs)
+
+        return g
+
+    return wrap
 
 
 def shard_batch_call(call: Callable, batch_in: Sequence[bool],

@@ -186,7 +186,7 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
         iou_train = IouEval(cfg.num_classes) if cfg.iou_train else None
         t_start = time.time()
         n_imgs = 0
-        group_im, group_lb = [], []
+        group_im, group_lb, group_n = [], [], 0
         for bidx, (images, labels, _rels, n_valid) in enumerate(dl_train):
             # the step folds ts.step into the key on device — one constant
             # base key here avoids a per-step host fold_in dispatch
@@ -196,55 +196,72 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
                 iou_train.add_batch(preds, tgts)
                 epoch_loss.append(loss)
                 n_imgs += n_valid
+                completed = (bidx,)
             elif K > 1:
                 group_im.append(images)
                 group_lb.append(labels)
-                n_imgs += n_valid
+                group_n += n_valid
                 if len(group_im) < K:
                     continue
                 fts, losses = train_step(fts, tuple(group_im),
                                          tuple(group_lb), step_rng)
                 group_im, group_lb = [], []
+                n_imgs += group_n
+                group_n = 0
                 epoch_loss.extend(list(losses))
+                # this dispatch retired batches bidx-K+1 .. bidx; the
+                # periodic logging below fires if ANY of them hits the
+                # steps_loss/steps_plot cadence (with K>1 a strict
+                # `bidx % steps == 0` check can be unsatisfiable: groups
+                # complete only at bidx ≡ K-1 (mod K))
+                completed = tuple(range(bidx - K + 1, bidx + 1))
             else:
                 fts, loss = train_step(fts, images, labels, step_rng)
                 epoch_loss.append(loss)
                 n_imgs += n_valid
-            if cfg.steps_loss > 0 and bidx % cfg.steps_loss == 0:
+                completed = (bidx,)
+            if cfg.steps_loss > 0 \
+                    and any(b % cfg.steps_loss == 0 for b in completed):
                 avg = float(np.mean([float(l) for l in epoch_loss]))
                 t_per_img = (time.time() - t_start) / max(n_imgs, 1)
                 log(f"loss: {avg:.4f} (epoch: {epoch}, step: {bidx}) "
                     f"// Avg time/img: {t_per_img:.4f} s")
-            if board is not None and cfg.steps_plot > 0 \
-                    and bidx % cfg.steps_plot == 0:
+            if (board is not None or tb is not None) and cfg.steps_plot > 0 \
+                    and any(b % cfg.steps_plot == 0 for b in completed):
                 # reference --steps-plot contract (train/main.py +
                 # train/visualize.py): input AND colorized output AND
                 # colorized target.  The fused train step never
                 # materializes logits, so run the (jitted) eval step on
                 # the current batch for the plot predictions.
                 from ..data.transforms import colorize
-                board.loss([float(l) for l in epoch_loss],
-                           f"train loss (stage {'enc' if enc else 'dec'})")
-                board.image(np.asarray(images[0]), "input image")
                 _pl, p_preds, p_tgts = eval_step(
                     train_step.unflatten(fts), images, labels)
-                board.image(np.asarray(colorize(p_preds[0])) / 255.0,
-                            f"output (epoch: {epoch}, step: {bidx})")
-                board.image(np.asarray(colorize(p_tgts[0])) / 255.0,
-                            f"target (epoch: {epoch}, step: {bidx})")
+                in_im = np.asarray(images[0])
+                out_im = np.asarray(colorize(p_preds[0])) / 255.0
+                tgt_im = np.asarray(colorize(p_tgts[0])) / 255.0
+                if board is not None:
+                    board.loss([float(l) for l in epoch_loss],
+                               f"train loss (stage "
+                               f"{'enc' if enc else 'dec'})")
+                    board.image(in_im, "input image")
+                    board.image(out_im,
+                                f"output (epoch: {epoch}, step: {bidx})")
+                    board.image(tgt_im,
+                                f"target (epoch: {epoch}, step: {bidx})")
                 if tb is not None:
                     step_no = (epoch - 1) * len(dl_train) + bidx
-                    tb.image("train/input", np.asarray(images[0]), step_no)
-                    tb.image("train/output",
-                             np.asarray(colorize(p_preds[0])) / 255.0,
-                             step_no)
-                    tb.image("train/target",
-                             np.asarray(colorize(p_tgts[0])) / 255.0,
-                             step_no)
+                    tb.image("train/input", in_im, step_no)
+                    tb.image("train/output", out_im, step_no)
+                    tb.image("train/target", tgt_im, step_no)
         if group_im:
             log(f"multi_step={K}: dropped {len(group_im)} trailing "
                 f"batch(es) (epoch length not divisible by K)")
-        avg_loss_train = float(np.mean([float(l) for l in epoch_loss]))
+        if epoch_loss:
+            avg_loss_train = float(np.mean([float(l) for l in epoch_loss]))
+        else:
+            avg_loss_train = 0.0
+            log(f"WARNING: epoch {epoch} ran ZERO optimizer steps "
+                f"({len(dl_train)} batches/epoch < multi_step={K}?)")
         iou_train_val = 0.0
         if cfg.iou_train:
             iou_train_val, _ = iou_train.get_iou()

@@ -39,3 +39,8 @@ def timed_chain(fn, carry0, n_iters: int, *, seg: int = 10) -> float:
         float(np.asarray(carry))  # per-segment host sync bounds the queue
         done += seg
     return (time.perf_counter() - t0) / done
+
+
+# warmup iterations timed_chain runs itself before the clock starts —
+# callers granting a larger --warmup subtract this instead of hardcoding
+timed_chain.WARM_SEGMENT = 10

@@ -115,6 +115,23 @@ def test_sharded_fused_step_matches_single_and_xla():
                 err_msg=f"{tag} BN stats diverge at encoder layer {layer}")
 
 
+def test_mesh_keyed_jit_retraces_on_mesh_change():
+    """A plain module-level @jax.jit reads the registered mesh at trace
+    time only — same-shape calls after a set_mesh change would replay the
+    stale executable.  mesh_keyed_jit keeps one jit cache per
+    registration (regression for the packed-eval entry points)."""
+
+    @spmd.mesh_keyed_jit(static_argnames=("k",))
+    def f(x, *, k):
+        return x * spmd.data_shards() * k
+
+    x = jnp.float32(1)
+    assert float(f(x, k=1)) == 1.0  # no mesh: data_shards() == 1
+    with spmd.pallas_mesh(make_mesh(8)):
+        assert float(f(x, k=1)) == 8.0  # retraced under the mesh
+    assert float(f(x, k=1)) == 1.0  # and again once deregistered
+
+
 def test_sharded_fused_eval_step_matches_xla():
     """Eval step (fused head+loss+argmax) under the 8-way mesh == XLA."""
     images, labels = _tiny_batch(seed=3)

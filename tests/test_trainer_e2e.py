@@ -104,9 +104,15 @@ def test_color_and_server_cli(fake_cityscapes, tmp_path, monkeypatch):
 def test_train_stage_multi_step(fake_cityscapes, tmp_path):
     """multi_step=2: the trainer groups batches into one K-step dispatch,
     logs every per-step loss, and drops a trailing remainder group."""
+    logged = []
+    # steps_loss=2 regression: groups complete only at bidx ≡ 1 (mod 2),
+    # so a strict `bidx % steps_loss == 0` check would NEVER fire — the
+    # cadence must be evaluated over every batch the dispatch retired
     cfg = _cfg(fake_cityscapes, tmp_path, num_epochs=1, batch_size=2,
-               multi_step=2, iou_val=False)
+               multi_step=2, iou_val=False, steps_loss=2,
+               log_fn=logged.append)
     ts = train_stage(cfg, enc=True)
+    assert any(s.startswith("loss:") for s in logged)
     log = open(os.path.join(cfg.savedir,
                             "automated_log_encoder.txt")).read()
     lines = log.strip().splitlines()
