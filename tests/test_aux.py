@@ -119,3 +119,25 @@ def test_dashboard_live_protocol(monkeypatch):
     # HWC converts to CHW for visdom; CHW passes through
     assert ("image", (3, 8, 6), "input") in calls
     assert ("image", (3, 8, 6), "chw in") in calls
+
+
+def test_jax_cache_layout_and_legacy_cleanup(tmp_path):
+    """enable() scopes the cache under a host-fingerprint subdir and
+    deletes legacy root-level entries (unreachable since the scoping),
+    leaving non-cache files alone."""
+    import jax
+    from erfnet_pytorch_tpu.utils import jax_cache
+
+    root = tmp_path / "jax_comp"
+    root.mkdir()
+    (root / "stale-entry-cache").write_bytes(b"x" * 64)
+    (root / "README.txt").write_text("not a cache entry")
+    old_dir = jax.config.jax_compilation_cache_dir
+    try:
+        jax_cache.enable(str(root))
+        assert not (root / "stale-entry-cache").exists()
+        assert (root / "README.txt").exists()
+        sub = jax.config.jax_compilation_cache_dir
+        assert os.path.dirname(sub) == str(root) and os.path.isdir(sub)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)

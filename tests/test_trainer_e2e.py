@@ -103,12 +103,14 @@ def test_color_and_server_cli(fake_cityscapes, tmp_path, monkeypatch):
 
 def test_train_stage_multi_step(fake_cityscapes, tmp_path):
     """multi_step=2: the trainer groups batches into one K-step dispatch,
-    logs every per-step loss, and drops a trailing remainder group."""
+    logs every per-step loss, and carries a trailing remainder group into
+    the next epoch instead of dropping it (only a stage-end remainder is
+    dropped)."""
     logged = []
     # steps_loss=2 regression: groups complete only at bidx ≡ 1 (mod 2),
     # so a strict `bidx % steps_loss == 0` check would NEVER fire — the
     # cadence must be evaluated over every batch the dispatch retired
-    cfg = _cfg(fake_cityscapes, tmp_path, num_epochs=1, batch_size=2,
+    cfg = _cfg(fake_cityscapes, tmp_path, num_epochs=2, batch_size=2,
                multi_step=2, iou_val=False, steps_loss=2,
                log_fn=logged.append)
     ts = train_stage(cfg, enc=True)
@@ -116,6 +118,11 @@ def test_train_stage_multi_step(fake_cityscapes, tmp_path):
     log = open(os.path.join(cfg.savedir,
                             "automated_log_encoder.txt")).read()
     lines = log.strip().splitlines()
-    assert len(lines) == 2 and np.isfinite(float(lines[1].split()[1]))
-    # 6 train images / batch 2 = 3 batches -> one K=2 group + 1 dropped
-    assert int(ts.step) == 2
+    assert len(lines) == 3 and np.isfinite(float(lines[1].split()[1]))
+    # 6 train images / batch 2 = 3 batches/epoch: epoch 1 runs one K=2
+    # group and CARRIES its 3rd batch; epoch 2's first group is
+    # (carried, batch 0) — 6 batches over 2 epochs = 3 dispatches, no
+    # image systematically dropped
+    assert any("carrying 1 trailing batch" in s for s in logged)
+    assert int(ts.step) == 6
+    assert not any("dropped" in s for s in logged)

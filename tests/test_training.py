@@ -334,11 +334,13 @@ def test_fused_paths_engaged_at_benchmark_shapes():
     assert _decoder_packed_ok((6, 64, 128, 128))
     assert pair_supported((6, 128, 128, 128))
     assert head_loss_supported(6 * 256 * 64, 128, 32, 20)  # packed head
-    # inference at batch 8, 512x1024 (the headline bench)
-    assert head_argmax_supported(8 * 256 * 512, 16, 4, 20)
-    assert _eligible((8, 64, 128, 128), 1)      # dilated C128 blocks
-    assert _eligible((8, 128, 256, 64), 2)      # C64 stages
-    assert _eligible((8, 256, 512, 16), 8)      # C16 decoder stages
+    # inference at batch 8 and 16, 512x1024 (B=16 is the headline bench —
+    # the measured v5e throughput sweet spot)
+    for b in (8, 16):
+        assert head_argmax_supported(b * 256 * 512, 16, 4, 20)
+        assert _eligible((b, 64, 128, 128), 1)   # dilated C128 blocks
+        assert _eligible((b, 128, 256, 64), 2)   # C64 stages
+        assert _eligible((b, 256, 512, 16), 8)   # C16 decoder stages
     # streaming 1024x2048: big-map stages must take the single-call
     # h-blocked halo kernel (chunked multi-call is the deeper fallback)
     from erfnet_pytorch_tpu.ops.pallas.nb1d import nb1d_blocked_supported
