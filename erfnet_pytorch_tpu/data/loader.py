@@ -10,18 +10,17 @@ Design:
     overlaps host->HBM transfer with TPU compute — consuming batch N while
     batch N+1 transfers and N+2 decodes;
   * `pad_to=n` pads every batch up to a multiple of n (the DP mesh size)
-    by repeating images with VOID (255) labels: the class-weighted loss
-    gives void weight 0, so the padded rows contribute nothing to the
-    loss or its head gradients and every chip stays busy.  CAVEAT: the
-    duplicated images DO enter the cross-replica BatchNorm batch
-    statistics (and through them the weight gradients and running
-    stats), so a padded multi-chip run is not bit-identical to the
-    single-device batch-6 recipe.  That is within the reference's own
-    multi-GPU variance envelope — torch DataParallel both scatters
-    batch 6 unevenly across 8 GPUs AND computes BN stats per-replica
-    (train/main.py:main() — SURVEY.md §2b); callers that prefer exact
-    whole-batch statistics over utilization can shrink the mesh instead
-    (`make_mesh_for_batch(..., allow_pad=False)`).
+    by repeating images with VOID (255) labels, and the trainer passes
+    the matching per-batch `valid` mask into the train step
+    (training/steps.py / models/erfnet.py `valid=`): the class-weighted
+    loss gives void weight 0 and the mask excludes pad rows from every
+    BatchNorm batch statistic (and, via autodiff of the masked stat
+    sums, from every gradient) — so the padded multi-chip step computes
+    EXACTLY the unpadded batch's math while every chip stays busy.
+    torch DataParallel instead scatters batch 6 unevenly across 8 GPUs
+    and computes BN stats per-replica (train/main.py:main() — SURVEY.md
+    §2b).  `make_mesh_for_batch(..., allow_pad=False)` remains for
+    callers that cannot pass the mask.
 
 Each ``__iter__`` call builds a self-contained iterator (own thread pool,
 queue, and epoch snapshot), so nested or concurrent iteration of one

@@ -48,7 +48,8 @@ def init_downsampler(key, cin, cout):
     return {"conv": conv, "bn": bnp}, {"bn": bns}
 
 
-def apply_downsampler(params, state, x, *, train, compute_dtype=None):
+def apply_downsampler(params, state, x, *, train, compute_dtype=None,
+                      valid=None):
     # cat[conv(cin -> cout-cin, k3 s2 p1), maxpool2](x) -> BN -> relu
     if train:
         # space-to-depth matmul conv + slot-max pool: XLA's strided conv
@@ -64,7 +65,8 @@ def apply_downsampler(params, state, x, *, train, compute_dtype=None):
                    padding=1, compute_dtype=compute_dtype)
         p = max_pool2d(x, 2, 2).astype(y.dtype)
     y = jnp.concatenate([y, p], axis=-1)
-    y, bns = batch_norm(y, params["bn"], state["bn"], train=train, eps=BN_EPS)
+    y, bns = batch_norm(y, params["bn"], state["bn"], train=train,
+                        eps=BN_EPS, valid=valid)
     return jax.nn.relu(y), {"bn": bns}
 
 
@@ -86,7 +88,7 @@ _TRAIN_PACK = {64: 2, 16: 8}  # space-to-depth factors -> 128 lanes
 
 
 def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
-                            rng=None, compute_dtype=None):
+                            rng=None, compute_dtype=None, valid=None):
     c = x.shape[-1]
     p = _TRAIN_PACK.get(c)
     if train and p is not None and x.shape[-2] % p == 0:
@@ -96,7 +98,8 @@ def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
         from ..ops.packed import nb1d_train_packed
         return nb1d_train_packed(params, state, x, p=p, dilated=dilated,
                                  dropprob=dropprob, train=train, rng=rng,
-                                 compute_dtype=compute_dtype, bn_eps=BN_EPS)
+                                 compute_dtype=compute_dtype, bn_eps=BN_EPS,
+                                 valid=valid)
     from ..ops.pallas.nb1d_train import (fused_pair_stats,
                                          fused_pair_affine_stats,
                                          fused_train_enabled,
@@ -106,22 +109,25 @@ def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
         # fused conv-pair Pallas kernels with custom VJP (one fwd + one bwd
         # dispatch per pair; the step is per-op-overhead bound on this
         # chip).  Both BatchNorms consume IN-KERNEL batch statistics.
-        from ..ops.packed import _bn_packed_coeffs_from_sums
+        from ..ops.packed import (_bn_packed_coeffs_from_sums,
+                                  stat_sums_from_rows)
         xc = x.astype(compute_dtype) if compute_dtype else x
-        n = x.shape[0] * x.shape[1] * x.shape[2]
+        n_img = x.shape[1] * x.shape[2]
         y, s1a, s1b = fused_pair_stats(
             xc, params["conv3x1_1"]["w"][:, 0], params["conv3x1_1"]["b"],
             params["conv1x3_1"]["w"][0], params["conv1x3_1"]["b"],
             sh=1, sw=1)
         # BN1 affine + relu fold into the next pair kernel's lead stage
         (a1, b1), bn1s = _bn_packed_coeffs_from_sums(
-            s1a, s1b, n, params["bn1"], state["bn1"], p=1, eps=BN_EPS)
+            *stat_sums_from_rows(s1a, s1b, n_img, valid),
+            params["bn1"], state["bn1"], p=1, eps=BN_EPS)
         y, s2a, s2b = fused_pair_affine_stats(
             y, a1, b1, params["conv3x1_2"]["w"][:, 0],
             params["conv3x1_2"]["b"], params["conv1x3_2"]["w"][0],
             params["conv1x3_2"]["b"], sh=dilated, sw=dilated)
         (a2, b2), bn2s = _bn_packed_coeffs_from_sums(
-            s2a, s2b, n, params["bn2"], state["bn2"], p=1, eps=BN_EPS)
+            *stat_sums_from_rows(s2a, s2b, n_img, valid),
+            params["bn2"], state["bn2"], p=1, eps=BN_EPS)
         y = y * a2.astype(y.dtype) + b2.astype(y.dtype)
     else:
         # factorized convs as shifted MXU matmuls (conv_3tap_mm): same math
@@ -134,7 +140,7 @@ def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
                          params["conv1x3_1"]["b"],
                          axis=2, compute_dtype=compute_dtype)
         y, bn1s = batch_norm(y, params["bn1"], state["bn1"], train=train,
-                             eps=BN_EPS)
+                             eps=BN_EPS, valid=valid)
         y = jax.nn.relu(y)
         y = conv_3tap_mm(y, params["conv3x1_2"]["w"],
                          params["conv3x1_2"]["b"],
@@ -146,7 +152,7 @@ def apply_non_bottleneck_1d(params, state, x, *, dilated, dropprob, train,
                          axis=2, dilation=dilated,
                          compute_dtype=compute_dtype)
         y, bn2s = batch_norm(y, params["bn2"], state["bn2"], train=train,
-                             eps=BN_EPS)
+                             eps=BN_EPS, valid=valid)
     if train and dropprob > 0:
         y = dropout2d(rng, y, dropprob, train=True)
     y = jax.nn.relu(y + x.astype(y.dtype))
@@ -159,7 +165,8 @@ def init_upsampler(key, cin, cout):
     return {"conv": conv, "bn": bnp}, {"bn": bns}
 
 
-def apply_upsampler(params, state, x, *, train, compute_dtype=None):
+def apply_upsampler(params, state, x, *, train, compute_dtype=None,
+                    valid=None):
     if train:
         # parity-plane matmul form: XLA's ConvTranspose backward spends
         # ~10 ms/step in kernel-gradient layout copies; matmul AD doesn't
@@ -176,7 +183,8 @@ def apply_upsampler(params, state, x, *, train, compute_dtype=None):
         y = conv_transpose2d(x, params["conv"]["w"], params["conv"]["b"],
                              stride=2, padding=1, output_padding=1,
                              compute_dtype=compute_dtype)
-    y, bns = batch_norm(y, params["bn"], state["bn"], train=train, eps=BN_EPS)
+    y, bns = batch_norm(y, params["bn"], state["bn"], train=train,
+                        eps=BN_EPS, valid=valid)
     return jax.nn.relu(y), {"bn": bns}
 
 
@@ -229,7 +237,8 @@ def init_encoder(key, num_classes):
 
 
 def _apply_layer_seq(specs, layers_params, layers_state, y, *, train, rng,
-                     compute_dtype, layer_fn, rng_base, apply_up=None):
+                     compute_dtype, layer_fn, rng_base, apply_up=None,
+                     valid=None):
     """Shared encoder/decoder layer loop.  In the training path, maximal
     runs of same-C small-channel NB1d blocks execute space-to-depth packed
     end-to-end (ops/packed.py:nb1d_train_packed_run) — the lane-padded
@@ -246,7 +255,8 @@ def _apply_layer_seq(specs, layers_params, layers_state, y, *, train, rng,
             continue
         if kind == "down":
             y, new_layers[i] = apply_downsampler(
-                p, s, y, train=train, compute_dtype=compute_dtype)
+                p, s, y, train=train, compute_dtype=compute_dtype,
+                valid=valid)
             i += 1
             continue
         if kind == "up":
@@ -269,7 +279,8 @@ def _apply_layer_seq(specs, layers_params, layers_state, y, *, train, rng,
                 [layers_state[k] for k in idxs], y, p=pack,
                 dils=[specs[k][1][2] for k in idxs],
                 drops=[specs[k][1][1] for k in idxs], train=train,
-                rngs=rngs, compute_dtype=compute_dtype, bn_eps=BN_EPS)
+                rngs=rngs, compute_dtype=compute_dtype, bn_eps=BN_EPS,
+                valid=valid)
             for k, ns in zip(idxs, run_states):
                 new_layers[k] = ns
             i = j
@@ -278,12 +289,13 @@ def _apply_layer_seq(specs, layers_params, layers_state, y, *, train, rng,
             else None
         y, new_layers[i] = apply_non_bottleneck_1d(
             p, s, y, dilated=dil, dropprob=drop, train=train, rng=r,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, valid=valid)
         i += 1
     return y, new_layers
 
 
-def _fused_nb1d_run(layers, lstate, y, idxs, specs, *, rng, rng_base=0):
+def _fused_nb1d_run(layers, lstate, y, idxs, specs, *, rng, rng_base=0,
+                    valid=None):
     """A run of same-C NB1d blocks through the fused pair kernels with the
     EPILOGUE CARried into the next block's first kernel (each block's
     BN2-affine + dropout + residual + relu applies inside the next
@@ -297,7 +309,8 @@ def _fused_nb1d_run(layers, lstate, y, idxs, specs, *, rng, rng_base=0):
     y, states = _packed_fused_carry_run(
         [layers[i] for i in idxs], [lstate[i] for i in idxs], y,
         p=1, C=y.shape[-1], dils=[specs[i][1][2] for i in idxs],
-        drops=[specs[i][1][1] for i in idxs], rngs=rngs, bn_eps=BN_EPS)
+        drops=[specs[i][1][1] for i in idxs], rngs=rngs, bn_eps=BN_EPS,
+        valid=valid)
     return y, dict(zip(idxs, states))
 
 
@@ -319,13 +332,15 @@ def _encoder_packed_ok(shape):
             and pair_supported((b, h // 8, w // 8, 128)))
 
 
-def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype):
+def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype,
+                                valid=None):
     """Encoder train path in W-packed layouts end to end: packed stem
     (Down 3->16) -> packed Down(16,64) -> packed C64 run -> Down(64,128)
     -> dilated C128 blocks (fused conv-pair kernels).  No s2d/pool/pack
     layout round-trips between stages."""
     from ..ops.packed import (_bn_packed_coeffs_from_sums,
-                              nb1d_train_packed_core_run)
+                              nb1d_train_packed_core_run,
+                              stat_sums_from_rows)
     from ..ops.pallas.downsampler import downsampler_packed_stats
     B, H, W, _ = x.shape
     layers, lstate = params["layers"], state["layers"]
@@ -333,14 +348,14 @@ def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype):
     xc = x.astype(compute_dtype) if compute_dtype is not None else x
 
     def down(p, s, X, pi, po, cout):
-        # ONE kernel: conv + max-pool lanes + bias + BN batch statistics
+        # ONE kernel: conv + max-pool lanes + bias + per-row BN statistics
         y, s1, s2 = downsampler_packed_stats(X, p["conv"]["w"],
                                              p["conv"]["b"], pi=pi)
         b_, h2, wb, cl = y.shape
-        n = b_ * h2 * wb * (cl // cout)
+        n_img = h2 * wb * (cl // cout)
         (a, bb), bns = _bn_packed_coeffs_from_sums(
-            s1, s2, n, p["bn"], s["bn"], p=cl // cout, eps=BN_EPS,
-            out_p=po)
+            *stat_sums_from_rows(s1, s2, n_img, valid),
+            p["bn"], s["bn"], p=cl // cout, eps=BN_EPS, out_p=po)
         y = y.reshape(b_, h2, (wb * cl) // (po * cout), po * cout)
         return jax.nn.relu(y * a.astype(y.dtype) + bb.astype(y.dtype)), \
             {"bn": bns}
@@ -356,27 +371,30 @@ def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype):
         layers[1:6], lstate[1:6], X, p=2, C=64,
         dils=[ENCODER_LAYER_SPECS[k][1][2] for k in range(1, 6)],
         drops=[ENCODER_LAYER_SPECS[k][1][1] for k in range(1, 6)],
-        train=True, rngs=rngs, bn_eps=BN_EPS)
+        train=True, rngs=rngs, bn_eps=BN_EPS, valid=valid)
     new_layers[1:6] = run_states
     X, new_layers[6] = down(layers[6], lstate[6], X, 2, 1, 128)
     # dilated C128 stack with the epilogue carried between fused kernels
     y, run_new = _fused_nb1d_run(layers, lstate, X, list(range(7, 15)),
-                                 ENCODER_LAYER_SPECS, rng=rng)
+                                 ENCODER_LAYER_SPECS, rng=rng, valid=valid)
     for i, ns in run_new.items():
         new_layers[i] = ns
     return y, {"initial_block": is_, "layers": new_layers}
 
 
 def apply_encoder(params, state, x, *, train=False, rng=None, predict=False,
-                  compute_dtype=None, layer_fn=None, initial_fn=None):
+                  compute_dtype=None, layer_fn=None, initial_fn=None,
+                  valid=None):
     """layer_fn: optional override(kind, idx, params, state, x, spec) for
     fused-kernel substitution at inference; initial_fn likewise overrides
-    the stem DownsamplerBlock."""
+    the stem DownsamplerBlock.  valid: optional (B,) 0/1 mask excluding DP
+    batch-pad rows from every BN batch statistic."""
     from ..ops.pallas.nb1d_train import fused_train_enabled
     if (train and layer_fn is None and fused_train_enabled()
             and _encoder_packed_ok(x.shape)):
         y, new_state = _apply_encoder_packed_train(
-            params, state, x, rng=rng, compute_dtype=compute_dtype)
+            params, state, x, rng=rng, compute_dtype=compute_dtype,
+            valid=valid)
         if predict:
             y = conv2d(y, params["output_conv"]["w"],
                        params["output_conv"]["b"],
@@ -388,11 +406,12 @@ def apply_encoder(params, state, x, *, train=False, rng=None, predict=False,
     else:
         y, is_ = apply_downsampler(params["initial_block"],
                                    state["initial_block"], x, train=train,
-                                   compute_dtype=compute_dtype)
+                                   compute_dtype=compute_dtype, valid=valid)
     y, new_layers = _apply_layer_seq(ENCODER_LAYER_SPECS, params["layers"],
                                      state["layers"], y, train=train,
                                      rng=rng, compute_dtype=compute_dtype,
-                                     layer_fn=layer_fn, rng_base=0)
+                                     layer_fn=layer_fn, rng_base=0,
+                                     valid=valid)
     new_state = {"initial_block": is_, "layers": new_layers}
     if predict:
         y = conv2d(y, params["output_conv"]["w"], params["output_conv"]["b"],
@@ -424,7 +443,7 @@ def _decoder_packed_ok(shape):
 
 
 def _apply_decoder_packed_train(params, state, x, *, rng, compute_dtype,
-                                keep_packed=False):
+                                keep_packed=False, valid=None):
     """Decoder train path entirely in W-packed layouts: packed upsampler
     kernels (ops/pallas/upsampler.py) feed the packed NB1d runs directly —
     no full-resolution d2s/pack layout round-trips between stages.
@@ -433,20 +452,22 @@ def _apply_decoder_packed_train(params, state, x, *, rng, compute_dtype,
     the packed fused head+loss (the (M, 16) native view has a lane-padded
     layout that costs ~1 ms/step in relayouts)."""
     from ..ops.packed import (_bn_packed_coeffs_from_sums,
-                              nb1d_train_packed_core_run)
+                              nb1d_train_packed_core_run,
+                              stat_sums_from_rows)
     from ..ops.pallas.upsampler import upsampler_packed_stats
     layers, lstate = params["layers"], state["layers"]
     new_layers: List[Any] = [None] * len(layers)
     X = x.astype(compute_dtype) if compute_dtype is not None else x
 
     def up(i, X, pi, po, p_bn):
-        # the kernel emits the BN batch statistics (psum'd under DP)
+        # the kernel emits per-row BN statistics (masked row-sum in XLA)
         y, s1, s2 = upsampler_packed_stats(X, layers[i]["conv"]["w"],
                                            layers[i]["conv"]["b"],
                                            pi=pi, po=po)
-        n = y.shape[0] * y.shape[1] * y.shape[2] * p_bn
+        n_img = y.shape[1] * y.shape[2] * p_bn
         (a, b), bns = _bn_packed_coeffs_from_sums(
-            s1, s2, n, layers[i]["bn"], lstate[i]["bn"], p=p_bn, eps=BN_EPS)
+            *stat_sums_from_rows(s1, s2, n_img, valid),
+            layers[i]["bn"], lstate[i]["bn"], p=p_bn, eps=BN_EPS)
         new_layers[i] = {"bn": bns}
         return jax.nn.relu(y * a.astype(y.dtype) + b.astype(y.dtype))
 
@@ -457,7 +478,7 @@ def _apply_decoder_packed_train(params, state, x, *, rng, compute_dtype,
             [layers[k] for k in idxs], [lstate[k] for k in idxs], X,
             p=p, C=C, dils=[DECODER_LAYER_SPECS[k][1][2] for k in idxs],
             drops=[DECODER_LAYER_SPECS[k][1][1] for k in idxs],
-            train=True, rngs=rngs, bn_eps=BN_EPS)
+            train=True, rngs=rngs, bn_eps=BN_EPS, valid=valid)
         for k, ns in zip(idxs, states):
             new_layers[k] = ns
         return X
@@ -475,20 +496,21 @@ def _apply_decoder_packed_train(params, state, x, *, rng, compute_dtype,
 
 def apply_decoder(params, state, x, *, train=False, rng=None,
                   compute_dtype=None, layer_fn=None, output_conv_fn=None,
-                  keep_packed_feats=False):
+                  keep_packed_feats=False, valid=None):
     from ..ops.pallas.nb1d_train import fused_train_enabled
     if (train and layer_fn is None and fused_train_enabled()
             and _decoder_packed_ok(x.shape)):
         y, new_layers = _apply_decoder_packed_train(
             params, state, x, rng=rng, compute_dtype=compute_dtype,
-            keep_packed=keep_packed_feats)
+            keep_packed=keep_packed_feats, valid=valid)
     else:
         y, new_layers = _apply_layer_seq(
             DECODER_LAYER_SPECS, params["layers"], state["layers"], x,
             train=train, rng=rng, compute_dtype=compute_dtype,
-            layer_fn=layer_fn, rng_base=100,
+            layer_fn=layer_fn, rng_base=100, valid=valid,
             apply_up=lambda p, s, t: apply_upsampler(
-                p, s, t, train=train, compute_dtype=compute_dtype))
+                p, s, t, train=train, compute_dtype=compute_dtype,
+                valid=valid))
     if output_conv_fn is not None:
         y = output_conv_fn(y)
     elif train:
@@ -522,7 +544,7 @@ def init(key, num_classes=20, encoder=None):
 def apply(params, state, x, *, train=False, rng=None, only_encode=False,
           compute_dtype=None, encoder_layer_fn=None, decoder_layer_fn=None,
           decoder_output_conv_fn=None, skip_head=False,
-          encoder_initial_fn=None, keep_packed_feats=False):
+          encoder_initial_fn=None, keep_packed_feats=False, valid=None):
     """Forward pass. x: (B, H, W, 3) -> logits (B, H', W', num_classes).
 
     only_encode=True mirrors ``Net.forward(input, only_encode=True)``:
@@ -531,22 +553,27 @@ def apply(params, state, x, *, train=False, rng=None, only_encode=False,
     kernel applies the prediction head itself — ops/pallas/head_loss.py);
     with keep_packed_feats=True they stay W-packed (channel dim 128) when
     the packed decoder path ran — callers dispatch on the channel dim.
+    valid: optional (B,) 0/1 mask that excludes DP batch-pad rows from
+    every BatchNorm batch statistic (and, via autodiff of the masked stat
+    sums, from every gradient) — making padded multi-chip training
+    numerically identical to the unpadded batch.
     """
     if only_encode:
         y, es = apply_encoder(params["encoder"], state["encoder"], x,
                               train=train, rng=rng, predict=not skip_head,
                               compute_dtype=compute_dtype,
                               layer_fn=encoder_layer_fn,
-                              initial_fn=encoder_initial_fn)
+                              initial_fn=encoder_initial_fn, valid=valid)
         return y, {"encoder": es, "decoder": state["decoder"]}
     y, es = apply_encoder(params["encoder"], state["encoder"], x, train=train,
                           rng=rng, predict=False, compute_dtype=compute_dtype,
                           layer_fn=encoder_layer_fn,
-                          initial_fn=encoder_initial_fn)
+                          initial_fn=encoder_initial_fn, valid=valid)
     y, ds = apply_decoder(params["decoder"], state["decoder"], y, train=train,
                           rng=rng, compute_dtype=compute_dtype,
                           layer_fn=decoder_layer_fn,
                           output_conv_fn=(lambda t: t) if skip_head
                           else decoder_output_conv_fn,
-                          keep_packed_feats=skip_head and keep_packed_feats)
+                          keep_packed_feats=skip_head and keep_packed_feats,
+                          valid=valid)
     return y, {"encoder": es, "decoder": ds}

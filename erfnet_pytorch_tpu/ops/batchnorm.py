@@ -27,21 +27,32 @@ def init_batch_norm(c, dtype=jnp.float32):
     return params, state
 
 
-def batch_norm_coeffs(x, params, state, *, train, eps=1e-3, momentum=0.1):
+def batch_norm_coeffs(x, params, state, *, train, eps=1e-3, momentum=0.1,
+                      valid=None):
     """The affine form of batch_norm WITHOUT applying it: returns
     ((a, b) f32 (C,), new_state) with y == x*a + b.  Lets a following
     fused kernel apply the affine in VMEM (the full-map multiply-add and
-    its backward otherwise round-trip HBM per block)."""
+    its backward otherwise round-trip HBM per block).  ``valid``
+    ((B,) 0/1 f32, optional) excludes DP batch-pad rows from the training
+    statistics EXACTLY (and, through autodiff of the masked sums, from
+    every gradient)."""
     scale = params["scale"].astype(jnp.float32)
     bias = params["bias"].astype(jnp.float32)
     if train:
         # f32-accumulated reductions WITHOUT materializing an f32 copy of x
         # (keeps bf16 activations bf16 on the HBM path)
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        mean = jnp.sum(x, axis=(0, 1, 2), dtype=jnp.float32) / n
-        var = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2),
+        if valid is None:
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            xs = x
+        else:
+            v = valid.astype(jnp.float32)
+            n = v.sum() * (x.shape[1] * x.shape[2])
+            # 0/1 mask: (v*x)^2 == v*x^2, so one masked view serves both
+            xs = x * v[:, None, None, None].astype(x.dtype)
+        mean = jnp.sum(xs, axis=(0, 1, 2), dtype=jnp.float32) / n
+        var = jnp.sum(jnp.square(xs.astype(jnp.float32)), axis=(0, 1, 2),
                       dtype=jnp.float32) / n - jnp.square(mean)
-        unbiased = var * (n / max(n - 1, 1))
+        unbiased = var * (n / jnp.maximum(n - 1, 1))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
             "var": (1 - momentum) * state["var"] + momentum * unbiased,
@@ -54,10 +65,12 @@ def batch_norm_coeffs(x, params, state, *, train, eps=1e-3, momentum=0.1):
     return (inv, bias - mean * inv), new_state
 
 
-def batch_norm(x, params, state, *, train, eps=1e-3, momentum=0.1):
+def batch_norm(x, params, state, *, train, eps=1e-3, momentum=0.1,
+               valid=None):
     """Returns (y, new_state). x: (B, H, W, C)."""
     (a, b), new_state = batch_norm_coeffs(x, params, state, train=train,
-                                          eps=eps, momentum=momentum)
+                                          eps=eps, momentum=momentum,
+                                          valid=valid)
     return x * a.astype(x.dtype) + b.astype(x.dtype), new_state
 
 

@@ -240,31 +240,38 @@ def taps_h_traced(w3, p, d):
 
 
 def _bn_packed(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
-               momentum=0.1):
+               momentum=0.1, valid=None):
     """BatchNorm over the TRUE channels of a packed (B, H, Wb, pC) tensor:
     stats aggregate across the p position slots (exactly the unpacked
     batch stats); affine applied tiled."""
     (a, b), new_state = _bn_packed_coeffs(Xp, bn_params, bn_state, p=p,
                                           train=train, eps=eps,
-                                          momentum=momentum)
+                                          momentum=momentum, valid=valid)
     return Xp * a.astype(Xp.dtype) + b.astype(Xp.dtype), new_state
 
 
 def _bn_packed_coeffs(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
-                      momentum=0.1):
+                      momentum=0.1, valid=None):
     """_bn_packed's affine WITHOUT applying: ((a, b) f32 (pC,), new_state)
-    for folding into a following fused kernel's lead stage."""
+    for folding into a following fused kernel's lead stage.  ``valid``
+    ((B,) 0/1 f32, optional) excludes DP pad rows from the statistics."""
     C = bn_params["scale"].shape[0]
     scale = bn_params["scale"].astype(jnp.float32)
     bias = bn_params["bias"].astype(jnp.float32)
     if train:
-        n = Xp.shape[0] * Xp.shape[1] * Xp.shape[2] * p
-        s1 = jnp.sum(Xp, axis=(0, 1, 2), dtype=jnp.float32)
-        s2 = jnp.sum(jnp.square(Xp.astype(jnp.float32)), axis=(0, 1, 2),
-                     dtype=jnp.float32)
+        n_img = Xp.shape[1] * Xp.shape[2] * p
+        if valid is None:
+            n = Xp.shape[0] * n_img
+            Xf = Xp.astype(jnp.float32)
+        else:
+            n = valid.astype(jnp.float32).sum() * n_img
+            Xf = Xp.astype(jnp.float32) \
+                * valid.astype(jnp.float32)[:, None, None, None]
+        s1 = jnp.sum(Xf, axis=(0, 1, 2))
+        s2 = jnp.sum(jnp.square(Xf), axis=(0, 1, 2))
         mean = s1.reshape(p, C).sum(0) / n
         var = s2.reshape(p, C).sum(0) / n - jnp.square(mean)
-        unbiased = var * (n / max(n - 1, 1))
+        unbiased = var * (n / jnp.maximum(n - 1, 1))
         new_state = {
             "mean": (1 - momentum) * bn_state["mean"] + momentum * mean,
             "var": (1 - momentum) * bn_state["var"] + momentum * unbiased,
@@ -277,12 +284,30 @@ def _bn_packed_coeffs(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
     return (jnp.tile(inv, p), jnp.tile(bias - mean * inv, p)), new_state
 
 
+def stat_sums_from_rows(s1_rows, s2_rows, n_img, valid=None):
+    """Reduce the fused kernels' PER-ROW batch statistics (B, pC) to
+    global sums — the only cross-batch stat work XLA runs, and the point
+    where DP batch padding becomes numerically EXACT: ``valid`` ((B,) 0/1
+    f32, optional) masks pad rows out of the sums, and autodiff of this
+    masked sum zeroes the pad rows' stat cotangents (hence their dW /
+    residual contributions in the kernels' backward).  ``n_img``: element
+    count per true channel per batch row.  Returns (s1, s2, n); n is
+    traced when valid is given."""
+    if valid is None:
+        return (s1_rows.sum(0), s2_rows.sum(0),
+                s1_rows.shape[0] * n_img)
+    v = valid.astype(jnp.float32)
+    return ((v[:, None] * s1_rows).sum(0),
+            (v[:, None] * s2_rows).sum(0), v.sum() * n_img)
+
+
 def _bn_packed_coeffs_from_sums(s1, s2, n, bn_params, bn_state, *, p,
                                 eps=1e-3, momentum=0.1, out_p=None):
     """_bn_packed_coeffs (train mode) with the batch sum / sum-of-squares
     SUPPLIED by the producing fused kernel (ops/pallas/nb1d_train.py
-    ``*_stats`` ops) — the full-map XLA reduction never runs.  s1/s2:
-    (pC,)-reshapeable f32; n: GLOBAL element count per true channel.
+    ``*_stats`` ops, reduced by :func:`stat_sums_from_rows`) — the
+    full-map XLA reduction never runs.  s1/s2: (pC,)-reshapeable f32;
+    n: GLOBAL element count per true channel (traced under DP padding).
     ``out_p``: tile the returned affine to a different slot count than the
     stats layout (the downsampler emits stats in its s_out-slot kernel
     layout while the caller applies BN on the po-slot regrouped view)."""
@@ -291,7 +316,7 @@ def _bn_packed_coeffs_from_sums(s1, s2, n, bn_params, bn_state, *, p,
     bias = bn_params["bias"].astype(jnp.float32)
     mean = s1.reshape(p, C).sum(0) / n
     var = s2.reshape(p, C).sum(0) / n - jnp.square(mean)
-    unbiased = var * (n / max(n - 1, 1))
+    unbiased = var * (n / jnp.maximum(n - 1, 1))
     new_state = {
         "mean": (1 - momentum) * bn_state["mean"] + momentum * mean,
         "var": (1 - momentum) * bn_state["var"] + momentum * unbiased,
@@ -302,12 +327,14 @@ def _bn_packed_coeffs_from_sums(s1, s2, n, bn_params, bn_state, *, p,
 
 
 def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
-                            train, rng, bn_eps):
+                            train, rng, bn_eps, valid=None):
     """One NB1d block on an ALREADY-PACKED (B, H, Wb, pC) tensor.
 
     When the fused train kernels are enabled (TPU default) each conv pair
     runs as ONE Pallas forward + ONE custom-VJP backward kernel — the XLA
-    tap-by-tap form below is the CPU path and the numerics oracle."""
+    tap-by-tap form below is the CPU path and the numerics oracle.
+    ``valid``: optional (B,) 0/1 mask excluding DP pad rows from the BN
+    batch statistics (stat_sums_from_rows)."""
     from .pallas.nb1d_train import (fused_pair_stats,
                                     fused_pair_affine_stats,
                                     fused_train_enabled, pair_supported,
@@ -318,23 +345,26 @@ def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
         return w[:, 0] if w.shape[1] == 1 else w[0]
 
     if train and fused_train_enabled() and pair_supported(X.shape):
-        n = X.shape[0] * X.shape[1] * X.shape[2] * p
+        n_img = X.shape[1] * X.shape[2] * p
         tile = lambda name: jnp.tile(params[name]["b"], p)
         ww2, s2 = stack_taps_w(w3("conv1x3_1"), p, 1)
         t, s1a, s1b = fused_pair_stats(
             X, stack_taps_h(w3("conv3x1_1"), p), tile("conv3x1_1"), ww2,
             tile("conv1x3_1"), sh=1, sw=s2)
-        # BN1 stats come OUT of the kernel; only the tiny (pC,) coeff math
-        # runs in XLA, and the affine + relu fold into the second pair
-        # kernel's lead stage (full map never re-materialized or re-read)
+        # BN1 per-row stats come OUT of the kernel; only the tiny masked
+        # row-sum + (pC,) coeff math runs in XLA, and the affine + relu
+        # fold into the second pair kernel's lead stage (full map never
+        # re-materialized or re-read)
         (a1, b1), bn1s = _bn_packed_coeffs_from_sums(
-            s1a, s1b, n, params["bn1"], state["bn1"], p=p, eps=bn_eps)
+            *stat_sums_from_rows(s1a, s1b, n_img, valid),
+            params["bn1"], state["bn1"], p=p, eps=bn_eps)
         ww4, s4 = stack_taps_w(w3("conv1x3_2"), p, dilated)
         t, s2a, s2b = fused_pair_affine_stats(
             t, a1, b1, stack_taps_h(w3("conv3x1_2"), p), tile("conv3x1_2"),
             ww4, tile("conv1x3_2"), sh=dilated, sw=s4)
         (a2, b2), bn2s = _bn_packed_coeffs_from_sums(
-            s2a, s2b, n, params["bn2"], state["bn2"], p=p, eps=bn_eps)
+            *stat_sums_from_rows(s2a, s2b, n_img, valid),
+            params["bn2"], state["bn2"], p=p, eps=bn_eps)
         t = t * a2.astype(t.dtype) + b2.astype(t.dtype)
         return _nb1d_epilogue(params, X, t, bn1s, bn2s, p=p, C=C,
                               dropprob=dropprob, train=train, rng=rng)
@@ -347,14 +377,14 @@ def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
     t2, b2 = taps("conv1x3_1", taps_w_traced, 1)
     t = packed_conv(t, t2, b2.astype(jnp.float32), axis=-2, relu=False)
     t, bn1s = _bn_packed(t, params["bn1"], state["bn1"], p=p, train=train,
-                         eps=bn_eps)
+                         eps=bn_eps, valid=valid)
     t = jax.nn.relu(t)
     t3, b3 = taps("conv3x1_2", taps_h_traced, dilated)
     t = packed_conv(t, t3, b3.astype(jnp.float32), axis=-3, relu=True)
     t4, b4 = taps("conv1x3_2", taps_w_traced, dilated)
     t = packed_conv(t, t4, b4.astype(jnp.float32), axis=-2, relu=False)
     t, bn2s = _bn_packed(t, params["bn2"], state["bn2"], p=p, train=train,
-                         eps=bn_eps)
+                         eps=bn_eps, valid=valid)
     return _nb1d_epilogue(params, X, t, bn1s, bn2s, p=p, C=C,
                           dropprob=dropprob, train=train, rng=rng)
 
@@ -370,7 +400,8 @@ def _nb1d_epilogue(params, X, t, bn1s, bn2s, *, p, C, dropprob, train, rng):
 
 
 def nb1d_train_packed(params, state, x, *, p, dilated, dropprob, train,
-                      rng=None, compute_dtype=None, bn_eps=1e-3):
+                      rng=None, compute_dtype=None, bn_eps=1e-3,
+                      valid=None):
     """Differentiable packed non_bottleneck_1d — same math as the unpacked
     block (models/erfnet.py:apply_non_bottleneck_1d) with p*C = 128 lanes:
     weight gradients become (pC, pC) matmuls instead of lane-starved
@@ -382,7 +413,8 @@ def nb1d_train_packed(params, state, x, *, p, dilated, dropprob, train,
         X = X.astype(compute_dtype)
     y, ns = _nb1d_train_packed_core(params, state, X, p=p, C=C,
                                     dilated=dilated, dropprob=dropprob,
-                                    train=train, rng=rng, bn_eps=bn_eps)
+                                    train=train, rng=rng, bn_eps=bn_eps,
+                                    valid=valid)
     return y.reshape(B, H, W, C).astype(x.dtype), ns
 
 
@@ -397,7 +429,7 @@ def _drop_mask_packed(rng, p_drop, B, C, p):
 
 
 def _packed_fused_carry_run(params_list, state_list, X, *, p, C, dils,
-                            drops, rngs, bn_eps):
+                            drops, rngs, bn_eps, valid=None):
     """Fused-kernel run with the epilogue CARried between blocks: each
     block's BN2-affine + dropout + residual + relu applies inside the next
     block's fused_pair_epi lead stage (models/erfnet.py:_fused_nb1d_run is
@@ -407,7 +439,7 @@ def _packed_fused_carry_run(params_list, state_list, X, *, p, C, dils,
                                     fused_pair_epi_stats, stack_taps_h,
                                     stack_taps_w)
     B = X.shape[0]
-    n = X.shape[0] * X.shape[1] * X.shape[2] * p
+    n_img = X.shape[1] * X.shape[2] * p
     new_states = []
     pending = None
     for params, state, d, dp, r in zip(params_list, state_list, dils,
@@ -427,16 +459,19 @@ def _packed_fused_carry_run(params_list, state_list, X, *, p, C, dils,
             z1, y_in, s1a, s1b = fused_pair_epi_stats(
                 *pending, wh1, tile("conv3x1_1"), ww2, tile("conv1x3_1"),
                 sh=1, sw=s2)
-        # batch statistics come OUT of the kernels (in-kernel accumulation
-        # + psum under shard_map); XLA runs only the (pC,) coeff math
+        # per-row batch statistics come OUT of the kernels; XLA runs only
+        # the tiny masked row-sum (pad-row-exact, batch-sharded rows sum
+        # via the jit-inserted collective) + the (pC,) coeff math
         (a1, b1), bn1s = _bn_packed_coeffs_from_sums(
-            s1a, s1b, n, params["bn1"], state["bn1"], p=p, eps=bn_eps)
+            *stat_sums_from_rows(s1a, s1b, n_img, valid),
+            params["bn1"], state["bn1"], p=p, eps=bn_eps)
         ww4, s4 = stack_taps_w(w3("conv1x3_2"), p, d)
         t, s2a, s2b = fused_pair_affine_stats(
             z1, a1, b1, stack_taps_h(w3("conv3x1_2"), p), tile("conv3x1_2"),
             ww4, tile("conv1x3_2"), sh=d, sw=s4)
         (a2, b2), bn2s = _bn_packed_coeffs_from_sums(
-            s2a, s2b, n, params["bn2"], state["bn2"], p=p, eps=bn_eps)
+            *stat_sums_from_rows(s2a, s2b, n_img, valid),
+            params["bn2"], state["bn2"], p=p, eps=bn_eps)
         pending = (t, y_in, _drop_mask_packed(r, dp, B, C, p), a2, b2)
         new_states.append({"bn1": bn1s, "bn2": bn2s})
     t, y_in, m, a2, b2 = pending
@@ -447,7 +482,8 @@ def _packed_fused_carry_run(params_list, state_list, X, *, p, C, dils,
 
 
 def nb1d_train_packed_core_run(params_list, state_list, X, *, p, C, dils,
-                               drops, train, rngs, bn_eps=1e-3):
+                               drops, train, rngs, bn_eps=1e-3,
+                               valid=None):
     """Run of NB1d blocks on an ALREADY-PACKED (B, H, Wb, pC) tensor —
     the decoder's packed-through train path (models/erfnet.py) keeps
     activations packed across upsampler boundaries.  Returns (X, states)."""
@@ -455,19 +491,21 @@ def nb1d_train_packed_core_run(params_list, state_list, X, *, p, C, dils,
     if train and fused_train_enabled() and pair_supported(X.shape):
         return _packed_fused_carry_run(params_list, state_list, X, p=p,
                                        C=C, dils=dils, drops=drops,
-                                       rngs=rngs, bn_eps=bn_eps)
+                                       rngs=rngs, bn_eps=bn_eps,
+                                       valid=valid)
     new_states = []
     for params, state, d, dp, r in zip(params_list, state_list, dils,
                                        drops, rngs):
         X, ns = _nb1d_train_packed_core(params, state, X, p=p, C=C,
                                         dilated=d, dropprob=dp, train=train,
-                                        rng=r, bn_eps=bn_eps)
+                                        rng=r, bn_eps=bn_eps, valid=valid)
         new_states.append(ns)
     return X, new_states
 
 
 def nb1d_train_packed_run(params_list, state_list, x, *, p, dils, drops,
-                          train, rngs, compute_dtype=None, bn_eps=1e-3):
+                          train, rngs, compute_dtype=None, bn_eps=1e-3,
+                          valid=None):
     """A run of consecutive same-C NB1d blocks, packed ONCE for the whole
     stage — avoids the lane-padded (M, C<128) layout round-trips at block
     boundaries that dominate the small-channel stages.  Returns
@@ -482,7 +520,7 @@ def nb1d_train_packed_run(params_list, state_list, x, *, p, dils, drops,
                                        drops, rngs):
         X, ns = _nb1d_train_packed_core(params, state, X, p=p, C=C,
                                         dilated=d, dropprob=dp, train=train,
-                                        rng=r, bn_eps=bn_eps)
+                                        rng=r, bn_eps=bn_eps, valid=valid)
         new_states.append(ns)
     return X.reshape(B, H, W, C).astype(x.dtype), new_states
 

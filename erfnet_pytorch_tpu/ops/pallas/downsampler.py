@@ -375,7 +375,7 @@ def _down_fwd_kernel_st(x_ref, K, bias, out_ref, s1_ref, s2_ref, *,
                                       Cc).astype(out_ref.dtype)
     out_ref[0] = y
     yf = y.astype(jnp.float32).reshape(H2 * Wb, -1)
-    emit_stats(yf, s1_ref, s2_ref, pl.program_id(0) == 0)
+    emit_stats(yf, s1_ref, s2_ref)
 
 
 def _call_fwd_st(x, K, bias, *, Cin, Cc, interpret):
@@ -386,8 +386,12 @@ def _call_fwd_st(x, K, bias, *, Cin, Cc, interpret):
         kernel = functools.partial(_down_fwd_kernel_st, H2=H2, Wb=Wb,
                                    Cin=Cin, Cc=Cc)
         v = pltpu.VMEM
-        sspec = pl.BlockSpec((1, co), lambda b: (0, 0), memory_space=v)
-        return pl.pallas_call(
+        # (B, 1, co) stat arrays with (1, 1, co) blocks: Mosaic requires
+        # the LAST TWO block dims to be (8,128)-divisible or equal to the
+        # array dims — a (1, co) block over (B, co) does not lower
+        sspec = pl.BlockSpec((1, 1, co), lambda b: (b, 0, 0),
+                             memory_space=v)
+        y, s1, s2 = pl.pallas_call(
             kernel,
             grid=(B,),
             in_specs=[
@@ -399,8 +403,8 @@ def _call_fwd_st(x, K, bias, *, Cin, Cc, interpret):
             out_specs=(pl.BlockSpec((1, H2, Wb, co), lambda b: (b, 0, 0, 0),
                                     memory_space=v), sspec, sspec),
             out_shape=(jax.ShapeDtypeStruct((B, H2, Wb, co), x.dtype),
-                       jax.ShapeDtypeStruct((1, co), jnp.float32),
-                       jax.ShapeDtypeStruct((1, co), jnp.float32)),
+                       jax.ShapeDtypeStruct((B, 1, co), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1, co), jnp.float32)),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
@@ -410,10 +414,11 @@ def _call_fwd_st(x, K, bias, *, Cin, Cc, interpret):
                 transcendentals=0),
             interpret=interpret,
         )(x, K, bias)
+        return y, s1[:, 0], s2[:, 0]
 
     return spmd.shard_batch_call(
         call, (True, False, False),
-        reduce_out=(False, True, True))(x, K, bias)
+        reduce_out=(False, False, False))(x, K, bias)
 
 
 @functools.lru_cache(maxsize=None)
@@ -430,13 +435,13 @@ def _down_op_st(Cin: int, Cc: int, pi: int, interpret: bool):
     def bwd(res, g):
         x, K, y = res
         gy, gs1, gs2 = g
-        co = y.shape[-1]
-        # one fused XLA pass builds the stats-adjusted cotangent; it is
-        # shared by the conv backward kernel and the pool backward
+        # one fused XLA pass builds the stats-adjusted cotangent (per-row
+        # gs1/gs2: (B, co)); it is shared by the conv backward kernel and
+        # the pool backward
         g_adj = (gy.astype(jnp.float32)
-                 + gs1.astype(jnp.float32).reshape(1, 1, 1, co)
+                 + gs1.astype(jnp.float32)[:, None, None, :]
                  + 2.0 * y.astype(jnp.float32)
-                 * gs2.astype(jnp.float32).reshape(1, 1, 1, co)
+                 * gs2.astype(jnp.float32)[:, None, None, :]
                  ).astype(x.dtype)
         dx_conv, dK, db = _call_bwd(x, g_adj, K, Cin=Cin, Cc=Cc,
                                     interpret=interpret)
@@ -454,9 +459,9 @@ def _down_op_st(Cin: int, Cc: int, pi: int, interpret: bool):
 
 def downsampler_packed_stats(x, w_hwio, b, *, pi: int, interpret=None):
     """Packed DownsamplerBlock conv+pool+bias in ONE kernel, returning
-    (y, s1, s2) where s1/s2 are the output's per-lane batch sum and
-    sum-of-squares (the following BatchNorm consumes them via
-    ops/packed.py:_bn_packed_coeffs_from_sums)."""
+    (y, s1, s2) where s1/s2 (B, co) are the output's PER-ROW per-lane
+    sums and sums-of-squares (the following BatchNorm consumes them via
+    ops/packed.py:stat_sums_from_rows + _bn_packed_coeffs_from_sums)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     cin, cc = w_hwio.shape[2], w_hwio.shape[3]

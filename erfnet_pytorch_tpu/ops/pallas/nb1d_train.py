@@ -299,13 +299,15 @@ def _pair_bwd_core(t0, g, whc, wwc, bh_f32, *, sh, sw):
 
 
 def _emit_stats(z_ref, s1_ref, s2_ref):
-    """Accumulate batch sum / sum-of-squares of the just-written output
-    block across the batch grid — the cross-batch BatchNorm statistics
-    reductions that otherwise re-read the full map in XLA."""
-    b = pl.program_id(0)
+    """Write this batch row's sum / sum-of-squares of the just-written
+    output block into its own (1, C) row of the (B, C) stat outputs — the
+    cross-batch BatchNorm statistics reductions that otherwise re-read
+    the full map in XLA.  The (masked) reduction over rows is a tiny
+    differentiable XLA op (ops/packed.py:stat_sums_from_rows), which is
+    what makes DP batch padding numerically exact."""
     z = z_ref[0].astype(jnp.float32)
     zf = z.reshape(z.shape[0] * z.shape[1], z.shape[2])
-    _emit_stats_flat(zf, s1_ref, s2_ref, b == 0)
+    _emit_stats_flat(zf, s1_ref, s2_ref)
 
 
 def _adjust_g(g, z_ref, gs1, gs2):
@@ -814,20 +816,30 @@ def fused_pair_affine(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
 # Stats-emitting variants: each kernel ALSO accumulates the batch
 # sum / sum-of-squares of its output across the batch grid (the next
 # BatchNorm's cross-batch statistics), and the backward folds the stats
-# cotangents (dz += gs1 + 2 z gs2) in-kernel.  Per BN this removes the
-# XLA full-map stats-reduction read in forward and the broadcast/mul/add
-# pass (plus its extra map reads) in backward — and under shard_map the
-# (1, C) accumulators psum over the data axis, which IS the cross-replica
-# global-batch BN semantics.
+# cotangents (dz += gs1[b] + 2 z gs2[b]) in-kernel.  Per BN this removes
+# the XLA full-map stats-reduction read in forward and the
+# broadcast/mul/add pass (plus its extra map reads) in backward.  Stats
+# are PER-ROW (B, C): the tiny (masked) reduction over rows runs in
+# ordinary differentiable XLA (ops/packed.py:stat_sums_from_rows) — under
+# shard_map the rows stay batch-sharded and the global sum is the usual
+# jit-inserted collective, which IS the cross-replica global-batch BN
+# semantics; with DP batch padding the mask excludes pad rows EXACTLY,
+# and AD zeroes their dW/residual contributions through the masked sum.
 # ---------------------------------------------------------------------------
 
 def _sspec(C):
-    return pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    """Per-row (1, 1, C) block of a (B, 1, C) stat array, indexed by the
+    batch grid program (both the fwd outputs and the bwd gs1/gs2 inputs).
+    3-D so the LAST TWO block dims equal the array dims — Mosaic rejects
+    a (1, C) block over (B, C) (sublane size 1 is neither 8-divisible nor
+    equal to B); callers squeeze/unsqueeze the unit axis in XLA."""
+    return pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
-def _stats_shapes(C):
-    return (jax.ShapeDtypeStruct((1, C), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32))
+def _stats_shapes(B, C):
+    return (jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32))
 
 
 def _fwd_kernel_st(x_ref, wh, bh, ww, bw, z_ref, s1_ref, s2_ref, *,
@@ -864,14 +876,14 @@ def _fwd_call_st(x, wh, bh, ww, bw, *, sh, sw, lead_relu, interpret):
         B, H, Wb, C = x.shape
         kernel = functools.partial(_fwd_kernel_st, sh=sh, sw=sw,
                                    lead_relu=lead_relu)
-        return pl.pallas_call(
+        z, s1, s2 = pl.pallas_call(
             kernel,
             grid=(B,),
             in_specs=[_map_spec(H, Wb, C), _wspec(C), _bspec(C), _wspec(C),
                       _bspec(C)],
             out_specs=(_map_spec(H, Wb, C), _sspec(C), _sspec(C)),
             out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),)
-            + _stats_shapes(C),
+            + _stats_shapes(B, C),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
@@ -881,16 +893,18 @@ def _fwd_call_st(x, wh, bh, ww, bw, *, sh, sw, lead_relu, interpret):
                 transcendentals=0),
             interpret=interpret,
         )(x, wh, bh, ww, bw)
+        return z, s1[:, 0], s2[:, 0]
 
     return spmd.shard_batch_call(
         call, (True, False, False, False, False),
-        reduce_out=(False, True, True))(x, wh, bh, ww, bw)
+        reduce_out=(False, False, False))(x, wh, bh, ww, bw)
 
 
 def _bwd_call_st(x, g, z, gs1, gs2, wh, bh, ww, *, sh, sw, lead_relu,
                  interpret):
     def call(x, g, z, gs1, gs2, wh, bh, ww):
         B, H, Wb, C = x.shape
+        gs1, gs2 = gs1[:, None], gs2[:, None]  # (B, 1, C) for _sspec
         kernel = functools.partial(_bwd_kernel_st, sh=sh, sw=sw,
                                    lead_relu=lead_relu)
         acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
@@ -922,7 +936,7 @@ def _bwd_call_st(x, g, z, gs1, gs2, wh, bh, ww, *, sh, sw, lead_relu,
         )(x, g, z, gs1, gs2, wh, bh, ww)
 
     return spmd.shard_batch_call(
-        call, (True, True, True, False, False, False, False, False),
+        call, (True, True, True, True, True, False, False, False),
         reduce_out=(False, True, True, True, True))(
         x, g, z, gs1, gs2, wh, bh, ww)
 
@@ -956,9 +970,9 @@ def _pair_op_st(sh: int, sw: int, lead_relu: bool, interpret: bool):
 def fused_pair_stats(x, wh, bh, ww, bw, *, sh: int, sw: int,
                      lead_relu: bool = False,
                      interpret: Optional[bool] = None):
-    """fused_pair that also returns the output's batch statistics:
-    (z, s1 (1, C) f32 sum, s2 (1, C) f32 sum-of-squares) for the following
-    BatchNorm (``bn_coeffs_from_sums``)."""
+    """fused_pair that also returns the output's PER-ROW batch statistics:
+    (z, s1 (B, C) f32 row sums, s2 (B, C) f32 row sums-of-squares) for the
+    following BatchNorm (reduce with ops/packed.py:stat_sums_from_rows)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _pair_op_st(int(sh), int(sw), bool(lead_relu), bool(interpret))(
@@ -1005,14 +1019,14 @@ def _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, *, sh, sw, interpret):
     def call(x, av, bv, wh, bh, ww, bw):
         B, H, Wb, C = x.shape
         kernel = functools.partial(_fwd_kernel_affine_st, sh=sh, sw=sw)
-        return pl.pallas_call(
+        z, s1, s2 = pl.pallas_call(
             kernel,
             grid=(B,),
             in_specs=[_map_spec(H, Wb, C), _bspec(C), _bspec(C), _wspec(C),
                       _bspec(C), _wspec(C), _bspec(C)],
             out_specs=(_map_spec(H, Wb, C), _sspec(C), _sspec(C)),
             out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),)
-            + _stats_shapes(C),
+            + _stats_shapes(B, C),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
@@ -1022,16 +1036,18 @@ def _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, *, sh, sw, interpret):
                 transcendentals=0),
             interpret=interpret,
         )(x, av, bv, wh, bh, ww, bw)
+        return z, s1[:, 0], s2[:, 0]
 
     return spmd.shard_batch_call(
         call, (True,) + (False,) * 6,
-        reduce_out=(False, True, True))(x, av, bv, wh, bh, ww, bw)
+        reduce_out=(False, False, False))(x, av, bv, wh, bh, ww, bw)
 
 
 def _bwd_call_affine_st(x, g, z, gs1, gs2, av, bv, wh, bh, ww, *, sh, sw,
                         interpret):
     def call(x, g, z, gs1, gs2, av, bv, wh, bh, ww):
         B, H, Wb, C = x.shape
+        gs1, gs2 = gs1[:, None], gs2[:, None]  # (B, 1, C) for _sspec
         kernel = functools.partial(_bwd_kernel_affine_st, sh=sh, sw=sw)
         acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1065,7 +1081,7 @@ def _bwd_call_affine_st(x, g, z, gs1, gs2, av, bv, wh, bh, ww, *, sh, sw,
         )(x, g, z, gs1, gs2, av, bv, wh, bh, ww)
 
     return spmd.shard_batch_call(
-        call, (True, True, True) + (False,) * 7,
+        call, (True, True, True, True, True) + (False,) * 5,
         reduce_out=(False,) + (True,) * 6)(
         x, g, z, gs1, gs2, av, bv, wh, bh, ww)
 
@@ -1157,7 +1173,7 @@ def _fwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw,
     def call(t, y_res, m, av, bv, wh, bh, ww, bw):
         B, H, Wb, C = t.shape
         kernel = functools.partial(_fwd_kernel_epi_st, sh=sh, sw=sw)
-        return pl.pallas_call(
+        z, y_next, s1, s2 = pl.pallas_call(
             kernel,
             grid=(B,),
             in_specs=[_map_spec(H, Wb, C), _map_spec(H, Wb, C),
@@ -1167,7 +1183,7 @@ def _fwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw,
                        _sspec(C)),
             out_shape=(jax.ShapeDtypeStruct(t.shape, t.dtype),
                        jax.ShapeDtypeStruct(t.shape, t.dtype))
-            + _stats_shapes(C),
+            + _stats_shapes(B, C),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
@@ -1177,10 +1193,11 @@ def _fwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw,
                 transcendentals=0),
             interpret=interpret,
         )(t, y_res, m, av, bv, wh, bh, ww, bw)
+        return z, y_next, s1[:, 0], s2[:, 0]
 
     return spmd.shard_batch_call(
         call, (True, True, True) + (False,) * 6,
-        reduce_out=(False, False, True, True))(
+        reduce_out=(False, False, False, False))(
         t, y_res, m, av, bv, wh, bh, ww, bw)
 
 
@@ -1188,6 +1205,7 @@ def _bwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2,
                      *, sh, sw, interpret):
     def call(t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2):
         B, H, Wb, C = t.shape
+        gs1, gs2 = gs1[:, None], gs2[:, None]  # (B, 1, C) for _sspec
         kernel = functools.partial(_bwd_kernel_epi_st, sh=sh, sw=sw)
         acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1225,7 +1243,7 @@ def _bwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2,
 
     return spmd.shard_batch_call(
         call, (True, True, True, False, False, False, False, False, True,
-               True, True, False, False),
+               True, True, True, True),
         reduce_out=(False, False) + (True,) * 6)(
         t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2)
 

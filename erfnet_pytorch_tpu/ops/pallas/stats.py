@@ -1,11 +1,15 @@
-"""Shared in-kernel accumulation helpers for batch-grid Pallas kernels.
+"""Shared in-kernel statistic emission for batch-grid Pallas kernels.
 
-Batch-grid kernels revisit their accumulator output blocks once per grid
-step (constant index_map); ``acc`` is the init-on-first-program /
-else-add pattern, and ``emit_stats`` is the BatchNorm batch sum /
-sum-of-squares emission built on it (consumed by
-ops/packed.py:_bn_packed_coeffs_from_sums so XLA never re-reads the full
-map for the statistics reduction).  One implementation, used by the
+``acc`` is the init-on-first-program / else-add pattern for cross-batch
+accumulator outputs (weight gradients).  ``emit_stats`` writes each grid
+program's PER-ROW BatchNorm sum / sum-of-squares into its own (1, C)
+block of a (B, C) output: the global (masked) reduction over rows is a
+tiny differentiable XLA op downstream
+(ops/packed.py:stat_sums_from_rows), which is what makes DP batch
+padding numerically exact — pad rows are excluded from the statistics by
+an ordinary masked sum, and autodiff then zeroes the pad rows'
+stat-cotangents (and through them their dW/residual contributions)
+without any in-kernel masking.  One implementation, used by the
 nb1d_train pair kernels and the stats-emitting downsampler / upsampler
 kernels.
 """
@@ -27,8 +31,13 @@ def acc(ref, val, first):
         ref[:] = ref[:] + val
 
 
-def emit_stats(zf, s1_ref, s2_ref, first):
-    """Accumulate the batch sum / sum-of-squares of a flat f32 (M, C)
-    activation block into the (1, C) stat accumulators."""
-    acc(s1_ref, jnp.sum(zf, axis=0).reshape(1, -1), first)
-    acc(s2_ref, jnp.sum(zf * zf, axis=0).reshape(1, -1), first)
+def emit_stats(zf, s1_ref, s2_ref):
+    """Write this grid program's batch-row sum / sum-of-squares of a flat
+    f32 (M, C) activation block into its own stat block (the stat
+    out_specs index by the batch program id).  The stat arrays are
+    (B, 1, C) with (1, 1, C) blocks: Mosaic requires the last two block
+    dims to be (8,128)-divisible OR equal to the array dims, so a (1, C)
+    block over (B, C) does NOT lower — only leading dims may be blocked
+    freely by the batch grid (callers squeeze to (B, C) in XLA)."""
+    s1_ref[:] = jnp.sum(zf, axis=0).reshape(s1_ref.shape)
+    s2_ref[:] = jnp.sum(zf * zf, axis=0).reshape(s2_ref.shape)

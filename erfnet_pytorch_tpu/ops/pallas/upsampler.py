@@ -288,24 +288,25 @@ def ups_packed_supported(x_shape, pi: int, po: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Stats-emitting variant: the kernel also accumulates the output's batch
-# sum / sum-of-squares across the batch grid (the following BatchNorm's
-# cross-batch statistics; ops/packed.py:_bn_packed_coeffs_from_sums is
-# the consumer) and the backward folds the stats cotangents in-kernel —
-# same design as ops/pallas/nb1d_train.py's ``*_stats`` ops.
+# Stats-emitting variant: the kernel also writes the output's PER-ROW
+# batch sum / sum-of-squares (the following BatchNorm's cross-batch
+# statistics; ops/packed.py:stat_sums_from_rows reduces the rows —
+# pad-row-exact under DP padding) and the backward folds the per-row
+# stats cotangents in-kernel — same design as ops/pallas/nb1d_train.py's
+# ``*_stats`` ops.
 # ---------------------------------------------------------------------------
 
 def _ups_fwd_kernel_st(x_ref, K, bias, out_ref, s1_ref, s2_ref, *,
                        H, Wbo, Chm, Co):
     _ups_fwd_kernel(x_ref, K, bias, out_ref, H=H, Wbo=Wbo, Chm=Chm, Co=Co)
     z = out_ref[0].astype(jnp.float32).reshape(H * 2 * Wbo, Co)
-    emit_stats(z, s1_ref, s2_ref, pl.program_id(0) == 0)
+    emit_stats(z, s1_ref, s2_ref)
 
 
 def _ups_bwd_kernel_st(x_ref, g_ref, z_ref, gs1, gs2, K, dx_ref, dK_ref,
                        db_ref, *, H, Wbo, Chm, Co):
-    # fold dz += gs1 + 2 z gs2 into the incoming cotangent, then reuse the
-    # base backward math on the adjusted gradient
+    # fold dz += gs1[b] + 2 z gs2[b] into the incoming cotangent, then
+    # reuse the base backward math on the adjusted gradient
     g = g_ref[0].astype(jnp.float32)
     z = z_ref[0].astype(jnp.float32)
     g = (g + gs1[:].reshape(1, 1, 1, Co)
@@ -322,7 +323,11 @@ def _call_fwd_st(x, K, bias, *, interpret):
         kernel = functools.partial(_ups_fwd_kernel_st, H=H, Wbo=Wbo,
                                    Chm=Chm, Co=Co)
         v = pltpu.VMEM
-        sspec = pl.BlockSpec((1, Co), lambda b: (0, 0), memory_space=v)
+        # (B, 1, Co) stat arrays with (1, 1, Co) blocks: Mosaic requires
+        # the LAST TWO block dims to be (8,128)-divisible or equal to the
+        # array dims — a (1, Co) block over (B, Co) does not lower
+        sspec = pl.BlockSpec((1, 1, Co), lambda b: (b, 0, 0),
+                             memory_space=v)
         out5, s1, s2 = pl.pallas_call(
             kernel,
             grid=(B,),
@@ -336,8 +341,8 @@ def _call_fwd_st(x, K, bias, *, interpret):
                                     lambda b: (b, 0, 0, 0, 0),
                                     memory_space=v), sspec, sspec),
             out_shape=(jax.ShapeDtypeStruct((B, H, 2, Wbo, Co), x.dtype),
-                       jax.ShapeDtypeStruct((1, Co), jnp.float32),
-                       jax.ShapeDtypeStruct((1, Co), jnp.float32)),
+                       jax.ShapeDtypeStruct((B, 1, Co), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1, Co), jnp.float32)),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
@@ -346,11 +351,11 @@ def _call_fwd_st(x, K, bias, *, interpret):
                 transcendentals=0),
             interpret=interpret,
         )(x, K, bias)
-        return out5.reshape(B, 2 * H, Wbo, Co), s1, s2
+        return out5.reshape(B, 2 * H, Wbo, Co), s1[:, 0], s2[:, 0]
 
     return spmd.shard_batch_call(
         call, (True, False, False),
-        reduce_out=(False, True, True))(x, K, bias)
+        reduce_out=(False, False, False))(x, K, bias)
 
 
 def _call_bwd_st(x, g, z, gs1, gs2, K, *, interpret):
@@ -363,7 +368,9 @@ def _call_bwd_st(x, g, z, gs1, gs2, K, *, interpret):
         v = pltpu.VMEM
         g5 = g.reshape(B, H, 2, Wbo, Co)
         z5 = z.reshape(B, H, 2, Wbo, Co)
-        sspec = pl.BlockSpec((1, Co), lambda b: (0, 0), memory_space=v)
+        gs1, gs2 = gs1[:, None], gs2[:, None]  # (B, 1, Co), see fwd sspec
+        sspec = pl.BlockSpec((1, 1, Co), lambda b: (b, 0, 0),
+                             memory_space=v)
         map5 = pl.BlockSpec((1, H, 2, Wbo, Co), lambda b: (b, 0, 0, 0, 0),
                             memory_space=v)
         return pl.pallas_call(
@@ -396,7 +403,7 @@ def _call_bwd_st(x, g, z, gs1, gs2, K, *, interpret):
         )(x, g5, z5, gs1, gs2, K)
 
     dx, dK, db = spmd.shard_batch_call(
-        call, (True, True, True, False, False, False),
+        call, (True, True, True, True, True, False),
         reduce_out=(False, True, True))(x, g, z, gs1, gs2, K)
     return dx, dK, db.reshape(-1)
 

@@ -36,14 +36,14 @@ def make_mesh_for_batch(batch_size: int, devices=None,
     With ``allow_pad`` (default) this is the FULL device mesh: callers
     pad non-divisible batches up to a mesh multiple (``DataLoader``'s
     ``pad_to`` repeats images with void labels, which the class-weighted
-    loss zeroes) so the reference recipe's batch 6 keeps all 8 chips
-    busy — where torch DataParallel scatters it unevenly instead
-    (train/main.py:main() — SURVEY.md §2b).  Note the padded rows do
-    enter the cross-replica BN batch statistics (see data/loader.py) —
-    comparable to DataParallel's own per-replica-BN deviation, but not
-    identical to the single-device recipe.  ``allow_pad=False`` restores
-    the shrink-to-divisor behavior for callers that cannot pad or that
-    want exact whole-batch statistics."""
+    loss zeroes) and pass the per-batch ``valid`` mask into the train
+    step, which excludes the pad rows from every BN batch statistic and
+    gradient (see data/loader.py) — the reference recipe's batch 6 keeps
+    all 8 chips busy while computing exactly the unpadded math, where
+    torch DataParallel scatters it unevenly with per-replica BN instead
+    (train/main.py:main() — SURVEY.md §2b).  ``allow_pad=False``
+    restores the shrink-to-divisor behavior for callers that cannot pass
+    the mask."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if not allow_pad:

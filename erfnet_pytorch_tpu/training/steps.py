@@ -148,10 +148,17 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         return {**updates,
                 "encoder": {**updates["encoder"], "output_conv": head}}
 
-    def loss_fn(params, batch_stats, images, labels, rng):
+    # models that support exact DP-pad masking of BN batch statistics
+    # take a `valid` kwarg (erfnet.apply); pass it through only then
+    model_takes_valid = "valid" in inspect.signature(
+        model.apply).parameters
+
+    def loss_fn(params, batch_stats, images, labels, rng, valid=None):
         from ..ops.pallas.head_loss import head_loss_supported
         from ..ops.pallas.nb1d_train import fused_train_enabled
         B = images.shape[0]
+        vkw = {"valid": valid} if (model_takes_valid and valid is not None) \
+            else {}
         fh, fw = images.shape[1] // (8 if enc else 1), \
             images.shape[2] // (8 if enc else 1)
         use_fused = (head_op is not None and fused_train_enabled()
@@ -164,18 +171,18 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
                 params, batch_stats, images, train=True,
                 rng=jax.random.fold_in(rng, 1), only_encode=enc,
                 compute_dtype=compute_dtype, skip_head=True,
-                keep_packed_feats=not enc)
+                keep_packed_feats=not enc, **vkw)
             return fused_head_loss(params, feats, labels), (new_stats, None)
         logits, new_stats = model.apply(
             params, batch_stats, images, train=True,
             rng=jax.random.fold_in(rng, 1), only_encode=enc,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, **vkw)
         loss = weighted_log_softmax_nll(logits, labels, cw)
         return loss, (new_stats, logits)
 
     if not flat:
         @jax.jit
-        def step(ts: TrainState, images, labels, rng):
+        def step(ts: TrainState, images, labels, rng, valid=None):
             # fold the step counter in ON DEVICE: callers pass one constant
             # base key (a host-side per-step fold_in costs a dispatch RTT)
             rng = jax.random.fold_in(rng, ts.step)
@@ -183,7 +190,7 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
                                           labels, enc=enc, augment=augment)
             (loss, (new_stats, logits)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(ts.params, ts.batch_stats, images,
-                                       labels, rng)
+                                       labels, rng, valid)
             updates, opt_state = optimizer.update(grads, ts.opt_state,
                                                   ts.params)
             params = optax.apply_updates(ts.params, freeze_unused(updates))
@@ -230,7 +237,7 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         return TrainState(unravel(fts.flat_params), fts.batch_stats,
                           opt_state, fts.step)
 
-    def flat_body(fts: FlatState, images, labels, rng):
+    def flat_body(fts: FlatState, images, labels, rng, valid=None):
         unravel = cell["unravel"]  # trace-time constant (set by flatten())
         rng = jax.random.fold_in(rng, fts.step)
         images, labels = co_transform(jax.random.fold_in(rng, 0), images,
@@ -238,7 +245,7 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         params = unravel(fts.flat_params)
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, fts.batch_stats, images, labels,
-                                   rng)
+                                   rng, valid)
         flat_grads = ravel_pytree(grads)[0]  # one concat (same leaf order)
         updates, opt_state = optimizer.update(flat_grads, fts.opt_state,
                                               fts.flat_params)
@@ -263,20 +270,26 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         # so one dispatch amortizes the fixed per-dispatch overhead.
         # Compile time scales ~K-fold — keep K small.
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def flat_step(fts: FlatState, images, labels, rng):
+        def flat_step(fts: FlatState, images, labels, rng, valid=None):
             losses = []
-            for im, lb in zip(images, labels):
-                fts, loss = flat_body(fts, im, lb, rng)
+            for i, (im, lb) in enumerate(zip(images, labels)):
+                fts, loss = flat_body(fts, im, lb, rng,
+                                      None if valid is None else valid[i])
                 losses.append(loss)
             return fts, jnp.stack(losses)
     else:
         flat_step = jax.jit(flat_body, donate_argnums=(0,))
 
     class _FlatStep:
-        """Callable step carrying the tree<->flat converters."""
+        """Callable step carrying the tree<->flat converters.
 
-        def __call__(self, fts, images, labels, rng):
-            return flat_step(fts, images, labels, rng)
+        valid: optional (B,) 0/1 mask (tuple of masks at multi_step>1)
+        excluding DP batch-pad rows from the BN statistics — pass it
+        consistently (always or never) per step instance to avoid a
+        second compile."""
+
+        def __call__(self, fts, images, labels, rng, valid=None):
+            return flat_step(fts, images, labels, rng, valid)
 
     fs = _FlatStep()
     # attached on the instance: a class body can't close over function locals

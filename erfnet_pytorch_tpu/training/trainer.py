@@ -131,8 +131,18 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
                                tag=f"val_h{cfg.height}")
     log(f"dataset: {len(ds_train)} train / {len(ds_val)} val images")
     # pad_to: non-divisible batches pad to a mesh multiple with void-label
-    # rows (zero loss/grad weight) so every chip stays busy under DP
+    # rows (zero loss/grad weight) so every chip stays busy under DP; the
+    # per-batch `valid` mask below excludes the pad rows from every BN
+    # batch statistic, making the padded step numerically EXACT vs the
+    # unpadded batch (models/erfnet.py:apply valid=)
     pad_to = pad_to_for_mesh(mesh)
+
+    def valid_mask(images, n_valid):
+        """(B,) 0/1 f32 mask for the train step; None when no padding can
+        occur (single-chip), keeping the step's no-mask program."""
+        if pad_to is None:
+            return None
+        return (np.arange(images.shape[0]) < n_valid).astype(np.float32)
     dl_train = DataLoader(ds_train, cfg.batch_size, shuffle=True,
                           num_workers=cfg.num_workers, drop_last=True,
                           seed=cfg.seed, sharding=bsh, pad_to=pad_to)
@@ -180,7 +190,7 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
     fts = train_step.flatten(ts)  # flat carry for the hot loop
     # multi_step group carried ACROSS epochs: a trailing remainder of <K
     # batches joins the next epoch's first dispatch instead of dropping
-    group_im, group_lb, group_n = [], [], 0
+    group_im, group_lb, group_va, group_n = [], [], [], 0
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         log(f"----- TRAINING - EPOCH {epoch} -----")
         lr = optim.poly_lr(cfg.lr, epoch - 1, cfg.num_epochs)
@@ -196,8 +206,9 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
             # the step folds ts.step into the key on device — one constant
             # base key here avoids a per-step host fold_in dispatch
             if cfg.iou_train:
-                fts, loss, preds, tgts = train_step(fts, images, labels,
-                                                    step_rng)
+                fts, loss, preds, tgts = train_step(
+                    fts, images, labels, step_rng,
+                    valid_mask(images, n_valid))
                 iou_train.add_batch(preds, tgts)
                 epoch_loss.append(loss)
                 n_imgs += n_valid
@@ -205,12 +216,14 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
             elif K > 1:
                 group_im.append(images)
                 group_lb.append(labels)
+                group_va.append(valid_mask(images, n_valid))
                 group_n += n_valid
                 if len(group_im) < K:
                     continue
-                fts, losses = train_step(fts, tuple(group_im),
-                                         tuple(group_lb), step_rng)
-                group_im, group_lb = [], []
+                fts, losses = train_step(
+                    fts, tuple(group_im), tuple(group_lb), step_rng,
+                    None if pad_to is None else tuple(group_va))
+                group_im, group_lb, group_va = [], [], []
                 n_imgs += group_n
                 group_n = 0
                 epoch_loss.extend(list(losses))
@@ -221,7 +234,8 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
                 # complete only at bidx ≡ K-1 (mod K))
                 completed = tuple(range(bidx - K + 1, bidx + 1))
             else:
-                fts, loss = train_step(fts, images, labels, step_rng)
+                fts, loss = train_step(fts, images, labels, step_rng,
+                                       valid_mask(images, n_valid))
                 epoch_loss.append(loss)
                 n_imgs += n_valid
                 completed = (bidx,)

@@ -365,9 +365,9 @@ def test_fused_pair_stats_value_and_grads():
 
     def r(x, wh, bh, ww, bw):
         z = pair_reference(x, wh, bh, ww, bw, sh=2, sw=2, lead_relu=True)
-        zf = z.astype(jnp.float32).reshape(-1, z.shape[-1])
-        return z, jnp.sum(zf, 0).reshape(1, -1), \
-            jnp.sum(zf * zf, 0).reshape(1, -1)
+        # per-row stats (B, C): the op emits one stat row per batch image
+        zf = z.astype(jnp.float32).reshape(z.shape[0], -1, z.shape[-1])
+        return z, jnp.sum(zf, 1), jnp.sum(zf * zf, 1)
 
     out, vjp_f = jax.vjp(f, x, wh, bh, ww, bw)
     ref, vjp_r = jax.vjp(r, x, wh, bh, ww, bw)
@@ -400,9 +400,9 @@ def test_fused_pair_affine_and_epi_stats_match_references():
     bw = jax.random.normal(ks[6], (C,))
 
     def sums(z):
-        zf = z.astype(jnp.float32).reshape(-1, C)
-        return jnp.sum(zf, 0).reshape(1, -1), \
-            jnp.sum(zf * zf, 0).reshape(1, -1)
+        # per-row stats (B, C)
+        zf = z.astype(jnp.float32).reshape(z.shape[0], -1, C)
+        return jnp.sum(zf, 1), jnp.sum(zf * zf, 1)
 
     def fa(x, a, b):
         return fused_pair_affine_stats(x, a, b, wh, bh, ww, bw, sh=4, sw=4)
@@ -466,8 +466,8 @@ def test_upsampler_packed_stats_matches(pi, po, cin, cout):
 
     def ref(xp, w, b):
         y = upsampler_packed(xp, w, b, pi=pi, po=po)
-        yf = y.astype(jnp.float32).reshape(-1, y.shape[-1])
-        return y, jnp.sum(yf, 0)[None], jnp.sum(yf * yf, 0)[None]
+        yf = y.astype(jnp.float32).reshape(y.shape[0], -1, y.shape[-1])
+        return y, jnp.sum(yf, 1), jnp.sum(yf * yf, 1)
 
     def fused(xp, w, b):
         return upsampler_packed_stats(xp, w, b, pi=pi, po=po)
@@ -504,8 +504,8 @@ def test_downsampler_packed_stats_matches(pi, cin, cout):
 
     def ref(x, w, b):
         y = downsampler_packed(x, w, b, pi=pi)
-        yf = y.astype(jnp.float32).reshape(-1, y.shape[-1])
-        return y, jnp.sum(yf, 0)[None], jnp.sum(yf * yf, 0)[None]
+        yf = y.astype(jnp.float32).reshape(y.shape[0], -1, y.shape[-1])
+        return y, jnp.sum(yf, 1), jnp.sum(yf * yf, 1)
 
     def fused(x, w, b):
         return downsampler_packed_stats(x, w, b, pi=pi)

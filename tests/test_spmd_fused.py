@@ -150,3 +150,137 @@ def test_sharded_fused_eval_step_matches_xla():
         loss = float(loss)
     assert abs(loss - float(loss_ref)) < 1e-4
     np.testing.assert_array_equal(np.asarray(preds), np.asarray(preds_ref))
+
+
+def _zero_drop(specs):
+    return [(k, (a[0], 0.0, a[2])) if k == "nb1d" else (k, a)
+            for k, a in specs]
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_dp_batch_padding_exact_with_valid_mask(monkeypatch, fused):
+    """Reference recipe batch 6 padded to a mesh multiple of 8 with the
+    `valid` mask == the UNPADDED batch-6 step exactly: same loss, same
+    parameter update, same BN batch stats — on both the fused-Pallas and
+    XLA paths, single-device and 8-way sharded.  (Dropout probabilities
+    are zeroed for the comparison: RNG draws are shape-dependent, so a
+    B=8 dropout stream can never bitwise-match a B=6 one — the masking
+    under test is the BN-statistics / gradient exclusion.)"""
+    from erfnet_pytorch_tpu.models import erfnet as E
+
+    monkeypatch.setattr(E, "ENCODER_LAYER_SPECS",
+                        _zero_drop(E.ENCODER_LAYER_SPECS))
+    monkeypatch.setattr(E, "DECODER_LAYER_SPECS",
+                        _zero_drop(E.DECODER_LAYER_SPECS))
+
+    images6, labels6 = _tiny_batch(b=6)
+    images8 = jnp.concatenate([images6, images6[5:6], images6[5:6]])
+    labels8 = jnp.concatenate(
+        [labels6, jnp.full((2,) + labels6.shape[1:], 255, labels6.dtype)])
+    valid8 = jnp.asarray([1.0] * 6 + [0.0] * 2, jnp.float32)
+
+    def run(images, labels, valid, mesh=None):
+        tx = optim.make_adam(1e-3)
+        ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+        with fused_train(fused), spmd.pallas_mesh(mesh):
+            step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                                   augment=False)
+            if mesh is not None:
+                ts = replicate(mesh, ts)
+                images = shard_batch(mesh, images)
+                labels = shard_batch(mesh, labels)
+            ts, loss = step(ts, images, labels, jax.random.PRNGKey(1),
+                            valid)
+            loss = float(jax.block_until_ready(loss))
+        return ts, loss
+
+    ts_ref, loss_ref = run(images6, labels6, None)
+    runs = [("padded-1dev", run(images8, labels8, valid8))]
+    if fused:
+        runs.append(("padded-8dev",
+                     run(images8, labels8, valid8, mesh=make_mesh(8))))
+    for tag, (ts_got, loss_got) in runs:
+        assert abs(loss_got - loss_ref) < 1e-5, \
+            f"{tag}: loss {loss_got} vs {loss_ref}"
+        for path in (("decoder", "output_conv", "w"),
+                     ("encoder", "initial_block", "conv", "w"),
+                     ("encoder", "layers", 7, "conv3x1_1", "w")):
+            a, b = ts_got.params, ts_ref.params
+            for k in path:
+                a, b = a[k], b[k]
+            diff = np.abs(np.asarray(a) - np.asarray(b))
+            # the masking is exact in real arithmetic (the block-level
+            # test below pins that at ~1e-5); through the full net the
+            # 8-row masked f32 reduction tree differs from the 6-row one
+            # by ulps that conditioning amplifies (documented ~7%
+            # norm-rel between any two valid op orderings), and Adam
+            # turns noise-level gradient elements into lr*sign steps —
+            # same bound structure as the sharded-equivalence test
+            assert diff.max() < 2.2e-3, \
+                f"{tag}: padded params diverge at {path}: {diff.max():.2e}"
+            assert diff.mean() < 1e-4, \
+                f"{tag}: padded param drift at {path}: {diff.mean():.2e}"
+        for layer in (0, 7):
+            sa = ts_got.batch_stats["encoder"]["layers"][layer]
+            sb = ts_ref.batch_stats["encoder"]["layers"][layer]
+            key = "bn" if "bn" in sa else "bn1"
+            np.testing.assert_allclose(
+                np.asarray(sa[key]["mean"]), np.asarray(sb[key]["mean"]),
+                rtol=1e-4, atol=1e-6,
+                err_msg=f"{tag}: pad rows leaked into BN stats "
+                        f"(encoder layer {layer})")
+            np.testing.assert_allclose(
+                np.asarray(sa[key]["var"]), np.asarray(sb[key]["var"]),
+                rtol=1e-4, atol=1e-6,
+                err_msg=f"{tag}: pad rows leaked into BN var "
+                        f"(encoder layer {layer})")
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_valid_mask_block_level_exact(fused):
+    """Leak detector for the pad-row masking, at one NB1d block where
+    conditioning can't amplify: every weight/BN gradient of the padded
+    masked run must match the unpadded run to f32 reduction noise
+    (~1e-5 norm-rel).  The two PRE-BN conv biases are excluded — their
+    true gradient is mathematically zero (shift absorbed by the BN mean),
+    so their f32 values are pure noise in ANY op ordering."""
+    from erfnet_pytorch_tpu.models import erfnet as E
+
+    p, _s = E.init_non_bottleneck_1d(jax.random.PRNGKey(0), 64)
+    s = _s
+    rng = np.random.RandomState(0)
+    x6 = jnp.asarray(rng.randn(6, 16, 32, 64).astype(np.float32))
+    x8 = jnp.concatenate([x6, x6[5:6], x6[5:6]])
+    v8 = jnp.asarray([1.0] * 6 + [0.0] * 2, jnp.float32)
+
+    def block(p, x, valid):
+        y, ns = E.apply_non_bottleneck_1d(
+            p, s, x, dilated=2, dropprob=0.0, train=True, rng=None,
+            valid=valid)
+        return y, ns
+
+    with fused_train(fused):
+        g6 = jax.jit(jax.grad(lambda p: jnp.sum(block(p, x6, None)[0]**2)))(p)
+        g8 = jax.jit(jax.grad(
+            lambda p: jnp.sum(block(p, x8, v8)[0][:6]**2)))(p)
+        (y6, ns6) = jax.jit(lambda p: block(p, x6, None))(p)
+        (y8, ns8) = jax.jit(lambda p: block(p, x8, v8))(p)
+    # valid rows of the padded output == unpadded output (stats masked;
+    # a handful of elements sit at relu boundaries where ulp-level stat
+    # reassociation flips them — hence the 1e-4 atol)
+    np.testing.assert_allclose(np.asarray(y8[:6]), np.asarray(y6),
+                               rtol=1e-4, atol=1e-4)
+    for bn in ("bn1", "bn2"):
+        np.testing.assert_allclose(
+            np.asarray(ns8[bn]["mean"]), np.asarray(ns6[bn]["mean"]),
+            rtol=1e-5, atol=1e-7, err_msg=f"pad rows leaked into {bn}")
+    zero_grad_biases = {("conv1x3_1", "b"), ("conv1x3_2", "b")}
+    for name in g6:
+        for leaf in g6[name]:
+            if (name, leaf) in zero_grad_biases:
+                continue
+            a, b = np.asarray(g6[name][leaf]), np.asarray(g8[name][leaf])
+            nr = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+            assert nr < 5e-5, \
+                f"fused={fused}: pad rows leak into grad {name}/{leaf}: " \
+                f"norm-rel {nr:.2e}"
