@@ -259,16 +259,20 @@ def _bn_packed_coeffs(Xp, bn_params, bn_state, *, p, train, eps=1e-3,
     scale = bn_params["scale"].astype(jnp.float32)
     bias = bn_params["bias"].astype(jnp.float32)
     if train:
+        # f32-accumulated reductions WITHOUT materializing an f32 copy of
+        # Xp (keeps bf16 activations bf16 on the HBM path, like
+        # ops/batchnorm.py); the 0/1 mask multiplies in Xp.dtype —
+        # (v*x)^2 == v*x^2 for 0/1 masks, so one view serves both sums
         n_img = Xp.shape[1] * Xp.shape[2] * p
         if valid is None:
             n = Xp.shape[0] * n_img
-            Xf = Xp.astype(jnp.float32)
+            xs = Xp
         else:
             n = valid.astype(jnp.float32).sum() * n_img
-            Xf = Xp.astype(jnp.float32) \
-                * valid.astype(jnp.float32)[:, None, None, None]
-        s1 = jnp.sum(Xf, axis=(0, 1, 2))
-        s2 = jnp.sum(jnp.square(Xf), axis=(0, 1, 2))
+            xs = Xp * valid.astype(Xp.dtype)[:, None, None, None]
+        s1 = jnp.sum(xs, axis=(0, 1, 2), dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(xs.astype(jnp.float32)), axis=(0, 1, 2),
+                     dtype=jnp.float32)
         mean = s1.reshape(p, C).sum(0) / n
         var = s2.reshape(p, C).sum(0) / n - jnp.square(mean)
         unbiased = var * (n / jnp.maximum(n - 1, 1))

@@ -157,8 +157,7 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         from ..ops.pallas.head_loss import head_loss_supported
         from ..ops.pallas.nb1d_train import fused_train_enabled
         B = images.shape[0]
-        vkw = {"valid": valid} if (model_takes_valid and valid is not None) \
-            else {}
+        vkw = {"valid": valid} if model_takes_valid else {}
         fh, fw = images.shape[1] // (8 if enc else 1), \
             images.shape[2] // (8 if enc else 1)
         use_fused = (head_op is not None and fused_train_enabled()

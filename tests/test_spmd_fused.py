@@ -195,12 +195,13 @@ def test_dp_batch_padding_exact_with_valid_mask(monkeypatch, fused):
         return ts, loss
 
     ts_ref, loss_ref = run(images6, labels6, None)
-    runs = [("padded-1dev", run(images8, labels8, valid8))]
-    if fused:
-        runs.append(("padded-8dev",
-                     run(images8, labels8, valid8, mesh=make_mesh(8))))
+    runs = [("padded-1dev", run(images8, labels8, valid8)),
+            ("padded-8dev",
+             run(images8, labels8, valid8, mesh=make_mesh(8)))]
     for tag, (ts_got, loss_got) in runs:
-        assert abs(loss_got - loss_ref) < 1e-5, \
+        # 1e-4 as in the sharded-equivalence test: the 8-way mesh's
+        # per-shard partial sums + collective reassociate f32 reductions
+        assert abs(loss_got - loss_ref) < 1e-4, \
             f"{tag}: loss {loss_got} vs {loss_ref}"
         for path in (("decoder", "output_conv", "w"),
                      ("encoder", "initial_block", "conv", "w"),
