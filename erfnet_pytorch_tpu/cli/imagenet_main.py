@@ -81,35 +81,39 @@ def make_steps(optimizer, compute_dtype):
         return (x - mean) / std
 
     @jax.jit
-    def train_step(ts: TrainState, images, labels, rng):
+    def train_step(ts: TrainState, images, labels, rng, valid=None):
         def loss_fn(params, stats):
             logits, new_stats = erfnet_imagenet.apply(
                 params, stats, normalize(images), train=True, rng=rng,
-                compute_dtype=compute_dtype)
-            return cross_entropy(logits, labels), (new_stats, logits)
+                compute_dtype=compute_dtype, valid=valid)
+            return cross_entropy(logits, labels, valid), \
+                (new_stats, logits)
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(ts.params, ts.batch_stats)
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         return (TrainState(params, new_stats, opt_state, ts.step + 1),
-                loss, _topk_correct(logits, labels))
+                loss, _topk_correct(logits, labels, valid=valid))
 
     @jax.jit
-    def eval_step(ts: TrainState, images, labels):
+    def eval_step(ts: TrainState, images, labels, valid=None):
         logits, _ = erfnet_imagenet.apply(ts.params, ts.batch_stats,
                                           normalize(images), train=False,
                                           compute_dtype=compute_dtype)
-        return cross_entropy(logits, labels), _topk_correct(logits, labels)
+        return cross_entropy(logits, labels, valid), \
+            _topk_correct(logits, labels, valid=valid)
 
     return train_step, eval_step
 
 
-def _topk_correct(logits, labels, k=5):
+def _topk_correct(logits, labels, k=5, valid=None):
     """(top1_correct, top5_correct) counts — reference accuracy(topk=(1,5)).
 
     Sort-free: the target's rank is the number of logits strictly greater
-    than logits[target] (+ earlier-index ties, matching argsort order)."""
+    than logits[target] (+ earlier-index ties, matching argsort order).
+    ``valid`` ((B,) 0/1, optional) excludes DP batch-pad rows from the
+    counts."""
     logits = logits.astype(jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     is_t = iota == labels[:, None].astype(jnp.int32)
@@ -117,15 +121,28 @@ def _topk_correct(logits, labels, k=5):
     gt = logits > logit_t[:, None]
     tie_before = (logits == logit_t[:, None]) & (iota < labels[:, None])
     rank = jnp.sum(gt | tie_before, axis=-1)
-    return ((rank < 1).sum().astype(jnp.float32),
-            (rank < k).sum().astype(jnp.float32))
+    v = jnp.ones(rank.shape, jnp.float32) if valid is None \
+        else valid.astype(jnp.float32)
+    return (((rank < 1) * v).sum(), ((rank < k) * v).sum())
+
+
+def _valid_mask(images, n_valid):
+    """(B,) 0/1 f32 pad-row mask.  Always an array (not None) so every
+    batch of a loop shares ONE compiled program — a None-vs-array split
+    would compile the step twice just for the final partial batch."""
+    return (np.arange(images.shape[0]) < n_valid).astype(np.float32)
 
 
 def run_validate(eval_step, ts, dl, print_freq, log=print):
+    """Reference imagenet/main.py validate(): the meters weight each
+    batch by its TRUE size — the final batch is shape-padded (pad_final)
+    and its pad rows are masked out of the loss and topk counts (torch's
+    DataLoader just delivers a smaller final batch)."""
     top1, top5, losses = AverageMeter(), AverageMeter(), AverageMeter()
     for i, (images, labels, _rels, n_valid) in enumerate(dl):
-        loss, (c1, c5) = eval_step(ts, images, labels)
-        b = images.shape[0]
+        loss, (c1, c5) = eval_step(ts, images, labels,
+                                   _valid_mask(images, n_valid))
+        b = n_valid
         losses.update(float(loss), b)
         top1.update(float(c1) / b * 100, b)
         top5.update(float(c5) / b * 100, b)
@@ -145,9 +162,10 @@ def main(argv=None):
     os.makedirs(args.savedir, exist_ok=True)
     compute_dtype = jnp.bfloat16 if args.bf16 else None
 
-    # no void-label masking exists in the CE recipe, so shrink
-    # rather than pad (padded rows would bias the loss)
-    mesh = make_mesh_for_batch(args.batch_size, allow_pad=False)
+    # full mesh: non-divisible batches pad to a mesh multiple and the
+    # per-batch valid mask excludes pad rows from the CE loss, the topk
+    # counts AND every BN batch statistic (exact — see data/loader.py)
+    mesh = make_mesh_for_batch(args.batch_size)
     # scoped mesh registration: the fused Pallas kernels shard over it
     with spmd.pallas_mesh(mesh):
         return _run(args, mesh, compute_dtype)
@@ -176,9 +194,11 @@ def _run(args, mesh, compute_dtype):
         best_prec1 = float(payload["best_acc"])
         print(f"=> resumed from {args.resume} (epoch {start_epoch})")
 
+    from ..parallel.mesh import pad_to_for_mesh
+    pad_to = pad_to_for_mesh(mesh)
     ds_val = ImageFolderDataset(args.data, "val", train=False)
     dl_val = DataLoader(ds_val, args.batch_size, num_workers=args.workers,
-                        pad_final=True, sharding=bsh)
+                        pad_final=True, sharding=bsh, pad_to=pad_to)
     if args.evaluate:
         run_validate(eval_step, ts, dl_val, args.print_freq)
         return
@@ -186,7 +206,7 @@ def _run(args, mesh, compute_dtype):
     ds_train = ImageFolderDataset(args.data, "train", train=True)
     dl_train = DataLoader(ds_train, args.batch_size, shuffle=True,
                           num_workers=args.workers, drop_last=True,
-                          sharding=bsh)
+                          sharding=bsh, pad_to=pad_to)
     print(f"dataset: {len(ds_train)} train / {len(ds_val)} val, "
           f"{len(ds_train and ds_train.classes)} classes, mesh {mesh.shape}")
 
@@ -196,10 +216,11 @@ def _run(args, mesh, compute_dtype):
         ts = ts._replace(opt_state=optim.set_learning_rate(ts.opt_state, lr))
         top1, top5, losses = AverageMeter(), AverageMeter(), AverageMeter()
         t0 = time.time()
-        for i, (images, labels, _rels, _nv) in enumerate(dl_train):
+        for i, (images, labels, _rels, n_valid) in enumerate(dl_train):
             r = jax.random.fold_in(rng, epoch * 1_000_000 + i)
-            ts, loss, (c1, c5) = train_step(ts, images, labels, r)
-            b = images.shape[0]
+            ts, loss, (c1, c5) = train_step(ts, images, labels, r,
+                                            _valid_mask(images, n_valid))
+            b = n_valid
             losses.update(float(loss), b)
             top1.update(float(c1) / b * 100, b)
             top5.update(float(c5) / b * 100, b)

@@ -46,22 +46,24 @@ def init_encoder(key):
 
 
 def apply_encoder(params, state, x, *, train=False, rng=None,
-                  compute_dtype=None):
+                  compute_dtype=None, valid=None):
     y, is_ = apply_downsampler(params["initial_block"],
                                state["initial_block"], x, train=train,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, valid=valid)
     new_layers = []
     for i, (kind, args) in enumerate(IMAGENET_ENCODER_LAYER_SPECS):
         p, s = params["layers"][i], state["layers"][i]
         if kind == "down":
             y, ns = apply_downsampler(p, s, y, train=train,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      valid=valid)
         else:
             c, drop, dil = args
             r = jax.random.fold_in(rng, i) if (rng is not None) else None
             y, ns = apply_non_bottleneck_1d(p, s, y, dilated=dil,
                                             dropprob=drop, train=train,
-                                            rng=r, compute_dtype=compute_dtype)
+                                            rng=r, compute_dtype=compute_dtype,
+                                            valid=valid)
         new_layers.append(ns)
     return y, {"initial_block": is_, "layers": new_layers}
 
@@ -82,11 +84,14 @@ def init(key, num_classes=1000):
     return params, {"features": {"encoder": es}}
 
 
-def apply(params, state, x, *, train=False, rng=None, compute_dtype=None):
-    """x: (B, 224, 224, 3) -> logits (B, num_classes)."""
+def apply(params, state, x, *, train=False, rng=None, compute_dtype=None,
+          valid=None):
+    """x: (B, 224, 224, 3) -> logits (B, num_classes).  valid: optional
+    (B,) 0/1 mask excluding DP batch-pad rows from the BN batch
+    statistics (models/erfnet.py:apply has the full story)."""
     y, es = apply_encoder(params["features"]["encoder"],
                           state["features"]["encoder"], x, train=train,
-                          rng=rng, compute_dtype=compute_dtype)
+                          rng=rng, compute_dtype=compute_dtype, valid=valid)
     y = max_pool2d(y, 2, 2)           # 28 -> 14
     y = avg_pool2d(y, 14, 1)          # 14 -> 1
     y = y.reshape(y.shape[0], -1)     # (B, 128)

@@ -40,13 +40,19 @@ def weighted_log_softmax_nll(logits, targets, class_weights):
     return num / jnp.maximum(den, 1e-12)
 
 
-def cross_entropy(logits, targets):
+def cross_entropy(logits, targets, valid=None):
     """Plain mean CE for the ImageNet classifier head. logits (B, C).
-    Gather-free (one-hot select), like the segmentation loss."""
+    Gather-free (one-hot select), like the segmentation loss.  ``valid``
+    ((B,) 0/1 f32, optional) excludes DP batch-pad rows from the mean —
+    ImageNet labels have no void class to zero-weight, so padded batches
+    MUST mask here."""
     logits = logits.astype(jnp.float32)
     m = jnp.max(logits, axis=-1, keepdims=True)
     lse = m[..., 0] + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1))
     iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logit_t = jnp.sum(jnp.where(iota == targets[:, None].astype(jnp.int32),
                                 logits, 0.0), axis=-1)
-    return jnp.mean(lse - logit_t)
+    if valid is None:
+        return jnp.mean(lse - logit_t)
+    v = valid.astype(jnp.float32)
+    return jnp.sum((lse - logit_t) * v) / jnp.maximum(jnp.sum(v), 1.0)

@@ -113,3 +113,50 @@ def test_topk_correct_matches_argsort():
     hit = top == np.asarray(labels)[:, None]
     assert float(c1) == hit[:, 0].sum()
     assert float(c5) == hit.any(1).sum()
+
+
+def test_cross_entropy_and_topk_masked():
+    """valid-masked CE / topk == computing on the unpadded subset (the
+    exact-DP-padding contract; ImageNet has no void class to zero-weight,
+    so the mask is the only pad-exclusion mechanism)."""
+    import jax.numpy as jnp
+    from erfnet_pytorch_tpu.ops.loss import cross_entropy
+    from erfnet_pytorch_tpu.cli.imagenet_main import _topk_correct
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(8, 20).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (8,)))
+    valid = jnp.asarray([1.0] * 6 + [0.0] * 2, jnp.float32)
+    np.testing.assert_allclose(
+        float(cross_entropy(logits, labels, valid)),
+        float(cross_entropy(logits[:6], labels[:6])), rtol=1e-6)
+    c1m, c5m = _topk_correct(logits, labels, valid=valid)
+    c1, c5 = _topk_correct(logits[:6], labels[:6])
+    assert float(c1m) == float(c1) and float(c5m) == float(c5)
+
+
+def test_run_validate_masks_final_padded_batch(fake_imagenet):
+    """6 val images at batch 4 pad the final batch by 2 rows; the
+    accuracy/loss must equal the batch-2 (never-padded) run — before the
+    mask, pad rows were counted as errors and the meter divided by the
+    padded size."""
+    import jax
+    from erfnet_pytorch_tpu.cli.imagenet_main import make_steps, run_validate
+    from erfnet_pytorch_tpu.data.imagenet import ImageFolderDataset
+    from erfnet_pytorch_tpu.data.loader import DataLoader
+    from erfnet_pytorch_tpu.models import erfnet_imagenet
+    from erfnet_pytorch_tpu.training import optim
+    from erfnet_pytorch_tpu.training.steps import TrainState
+
+    import jax.numpy as jnp
+    tx = optim.make_sgd(0.1)
+    params, stats = erfnet_imagenet.init(jax.random.PRNGKey(0), 3)
+    ts = TrainState(params, stats, tx.init(params),
+                    jnp.zeros((), jnp.int32))
+    _, eval_step = make_steps(tx, None)
+    ds = ImageFolderDataset(fake_imagenet, "val", train=False)
+    res = {}
+    for bs in (4, 2):
+        dl = DataLoader(ds, bs, num_workers=1, pad_final=True)
+        res[bs] = run_validate(eval_step, ts, dl, print_freq=100,
+                               log=lambda s: None)
+    assert abs(res[4] - res[2]) < 1e-6
