@@ -121,13 +121,16 @@ def main():
     params, batch_stats = erfnet.init(jax.random.PRNGKey(0), 20)
     infer_b1 = measure_infer(params, batch_stats, 1, iters=30)
     infer_b8 = measure_infer(params, batch_stats, 8, iters=24)
-    # B=16 is the measured throughput sweet spot on v5e (B=8: ~828 img/s,
-    # B=16: ~961, B=32: ~831 — larger batches lose to HBM pressure)
     infer_b16 = measure_infer(params, batch_stats, 16, iters=24)
+    # B=32 became the throughput sweet spot once the W-packed grouped
+    # head+argmax removed the (M, 16) lane relayout (which scaled with
+    # batch): measured B=8: 968, B=16: 1121, B=32: 1251 img/s; B=64
+    # exceeds this environment's compile-relay request-size limit
+    infer_b32 = measure_infer(params, batch_stats, 32, iters=16)
     train_b6 = measure_train(6, iters=10)
     imagenet_b32 = measure_imagenet(32, iters=10)
 
-    value = max(infer_b8, infer_b16)
+    value = max(infer_b8, infer_b16, infer_b32)
     print(json.dumps({
         "metric": "cityscapes_512x1024_inference_images_per_sec_per_chip",
         "value": round(value, 2),
@@ -137,6 +140,7 @@ def main():
             "infer_fps_batch1": round(infer_b1, 2),
             "infer_fps_batch8_pallas": round(infer_b8, 2),
             "infer_fps_batch16_pallas": round(infer_b16, 2),
+            "infer_fps_batch32_pallas": round(infer_b32, 2),
             "train_images_per_sec_batch6": round(train_b6, 2),
             "imagenet224_train_images_per_sec_batch32": round(imagenet_b32,
                                                               2),

@@ -34,7 +34,8 @@ from .ops.argmax import fast_argmax
 from .ops.convt_mm import (build_upsampler_matmul, apply_upsampler_matmul,
                            build_head_matmul, apply_head_matmul)
 from .ops.pallas.head_argmax import (head_argmax, head_argmax_supported,
-                                     depth_to_space_planes)
+                                     depth_to_space_planes,
+                                     depth_to_space_planes_packed)
 
 # Map-size budget for whole-image-in-VMEM kernels (bf16 bytes of the packed
 # view); larger activations fall back to XLA.
@@ -324,6 +325,23 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
                 decoder_layer_fn=dec_fn, skip_head=True,
                 encoder_initial_fn=initial_fn)
             B, H, Wd, K = y.shape
+            # W-PACKED head+argmax: view the (B, H, Wd, 16) features as
+            # (B, H, Wd/p, 128).  The decoder's last packed block UNPACKS
+            # to canonical with a reshape, so this re-pack composes with
+            # it to a free leading-dim merge at the XLA level — the
+            # lane-padded (M, 16) relayout (measured ~1.0 ms/step at
+            # batch 16) never materializes; the kernel reads the packed
+            # layout directly with the block-diagonal kron(I_p, W) head.
+            p = 128 // K if (K < 128 and 128 % K == 0) else 1
+            if (p > 1 and Wd % p == 0
+                    and head_argmax_supported(B * H * (Wd // p), p * K,
+                                              4 * p, n_classes)):
+                from .ops.convt_mm import expand_head_matmul_packed
+                Wp, bp = expand_head_matmul_packed(ham_W, ham_b, p)
+                yp = y.reshape(B, H, Wd // p, p * K)
+                idx = head_argmax(yp.reshape(-1, p * K), Wp, bp, G=4 * p,
+                                  n_classes=n_classes, interpret=interpret)
+                return depth_to_space_planes_packed(idx, B, H, Wd // p, p)
             if head_argmax_supported(B * H * Wd, K, 4, n_classes):
                 idx = head_argmax(y.reshape(-1, K), ham_W, ham_b, G=4,
                                   n_classes=n_classes, interpret=interpret)

@@ -292,3 +292,37 @@ def test_fast_infer_blocked_path_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
                                rtol=2e-3, atol=2e-3)
     assert (np.asarray(pred) == np.asarray(ref_pred)).mean() > 0.999
+
+
+def test_packed_head_argmax_matches_plain():
+    """W-packed (G=4p on 128 lanes) head+argmax == the plain (G=4, K=16)
+    path == XLA argmax of the materialized logits — the packed form reads
+    the decoder's native packed layout so the lane-padded (M, 16) view
+    never materializes."""
+    from erfnet_pytorch_tpu.ops.pallas.head_argmax import (
+        head_argmax, head_argmax_supported, depth_to_space_planes,
+        depth_to_space_planes_packed)
+    from erfnet_pytorch_tpu.ops.convt_mm import (
+        build_head_matmul, apply_head_matmul, expand_head_matmul_packed)
+
+    rng = np.random.RandomState(0)
+    B, H, Wd, K, p, ncls = 2, 8, 64, 16, 8, 20
+    y = jnp.asarray(rng.randn(B, H, Wd, K).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 2, K, ncls).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(ncls).astype(np.float32) * 0.1)
+    Wm, bm = build_head_matmul(w, b)
+
+    ref = np.asarray(jnp.argmax(apply_head_matmul(y, Wm, bm), axis=-1))
+
+    idx4 = head_argmax(y.reshape(-1, K), Wm, bm, G=4, n_classes=ncls)
+    plain = np.asarray(depth_to_space_planes(idx4, B, H, Wd))
+
+    assert head_argmax_supported(B * H * (Wd // p), p * K, 4 * p, ncls)
+    Wp, bp = expand_head_matmul_packed(Wm, bm, p)
+    yp = y.reshape(B, H, Wd // p, p * K)
+    idx32 = head_argmax(yp.reshape(-1, p * K), Wp, bp, G=4 * p,
+                        n_classes=ncls)
+    packed = np.asarray(depth_to_space_planes_packed(idx32, B, H,
+                                                     Wd // p, p))
+    np.testing.assert_array_equal(plain, ref)
+    np.testing.assert_array_equal(packed, ref)

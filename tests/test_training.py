@@ -334,9 +334,12 @@ def test_fused_paths_engaged_at_benchmark_shapes():
     assert _decoder_packed_ok((6, 64, 128, 128))
     assert pair_supported((6, 128, 128, 128))
     assert head_loss_supported(6 * 256 * 64, 128, 32, 20)  # packed head
-    # inference at batch 8 and 16, 512x1024 (B=16 is the headline bench —
-    # the measured v5e throughput sweet spot)
-    for b in (8, 16):
+    # inference at batch 8/16/32, 512x1024 (B=32 is the headline bench —
+    # the measured v5e throughput sweet spot with the W-packed head)
+    for b in (8, 16, 32):
+        # the W-packed grouped head+argmax (G=4p on 128 lanes) must
+        # engage — it removed the batch-scaling (M, 16) lane relayout
+        assert head_argmax_supported(b * 256 * 64, 128, 32, 20)
         assert head_argmax_supported(b * 256 * 512, 16, 4, 20)
         assert _eligible((b, 64, 128, 128), 1)   # dilated C128 blocks
         assert _eligible((b, 128, 256, 64), 2)   # C64 stages
