@@ -40,6 +40,8 @@ def build_parser():
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
     add_pallas_flag(p)
+    from ..inference import add_int8_flags
+    add_int8_flags(p)
     return p
 
 
@@ -58,15 +60,18 @@ def main(argv=None):
 
     from ..inference import resolve_use_pallas
     from ..streaming import StreamingSegmenter
-    seg = StreamingSegmenter(params, batch_stats,
-                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                             use_pallas=resolve_use_pallas(args.pallas),
-                             output="labelId")
     # explicit (h, w): the reference eval resize is Resize((512, 1024)) —
     # exact, not aspect-derived (eval/eval_iou.py:≈30)
     ds = CityscapesDataset(args.datadir, args.subset,
                            size=(args.height, 2 * args.height))
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers)
+    from ..quantize import resolve_q8_scales
+    q8 = resolve_q8_scales(args, params, batch_stats,
+                           (b[0] for b in dl))
+    seg = StreamingSegmenter(params, batch_stats,
+                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                             use_pallas=resolve_use_pallas(args.pallas),
+                             output="labelId", q8_scales=q8)
     for ids, rels in seg.run(dl):
         ids = ids.astype(np.uint8)
         for i, rel in enumerate(rels):

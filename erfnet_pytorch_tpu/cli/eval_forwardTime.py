@@ -36,18 +36,21 @@ def build_parser():
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     add_pallas_flag(p)
+    from ..inference import add_int8_flags
+    add_int8_flags(p)
     return p
 
 
 def benchmark(params, batch_stats, *, batch_size, height, width,
-              warmup, iterations, compute_dtype, use_pallas=False):
+              warmup, iterations, compute_dtype, use_pallas=False,
+              q8_scales=None):
     from ..utils.timing import timed_chain
 
     if use_pallas:
         from ..inference import build_fast_infer
         fast = build_fast_infer(params, batch_stats,
                                 dtype=compute_dtype or jnp.float32,
-                                use_pallas=True)
+                                use_pallas=True, q8_scales=q8_scales)
         infer = lambda p, s, x: fast(x)
     else:
         infer = make_infer_fn(erfnet, compute_dtype=compute_dtype)
@@ -89,11 +92,17 @@ def main(argv=None):
     else:
         params, batch_stats = erfnet.init(jax.random.PRNGKey(0),
                                           args.num_classes)
+    from ..quantize import resolve_q8_scales
+    q8 = resolve_q8_scales(
+        args, params, batch_stats,
+        [jax.random.uniform(jax.random.PRNGKey(0),
+                            (args.batch_size, args.height, args.width, 3))])
     dt = benchmark(params, batch_stats, batch_size=args.batch_size,
                    height=args.height, width=args.width, warmup=args.warmup,
                    iterations=args.iterations,
                    compute_dtype=jnp.bfloat16 if args.bf16 else None,
-                   use_pallas=resolve_use_pallas(args.pallas))
+                   use_pallas=resolve_use_pallas(args.pallas),
+                   q8_scales=q8)
     per_img = dt / args.batch_size
     print(f"device: {jax.devices()[0].device_kind}, "
           f"input {args.batch_size}x{args.height}x{args.width}, "

@@ -45,6 +45,8 @@ def build_parser():
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
     add_pallas_flag(p)
+    from ..inference import add_int8_flags
+    add_int8_flags(p)
     return p
 
 
@@ -62,10 +64,6 @@ def main(argv=None):
     print("Model and weights LOADED successfully")
 
     from ..inference import build_fast_infer, resolve_use_pallas
-    infer = build_fast_infer(
-        params, batch_stats,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        use_pallas=resolve_use_pallas(args.pallas), preds_only=True)
 
     # explicit (h, w): the reference eval resize is Resize((512, 1024)) —
     # exact, not aspect-derived (eval/eval_iou.py:≈30)
@@ -73,6 +71,15 @@ def main(argv=None):
                            size=(args.height, 2 * args.height))
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers,
                     pad_final=True)
+
+    from ..quantize import resolve_q8_scales
+    q8 = resolve_q8_scales(args, params, batch_stats,
+                           (b[0] for b in dl))
+    infer = build_fast_infer(
+        params, batch_stats,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        use_pallas=resolve_use_pallas(args.pallas), preds_only=True,
+        q8_scales=q8)
     ev = IouEval(NUM_CLASSES)
 
     start = time.time()

@@ -72,6 +72,23 @@ def add_pallas_flag(parser):
     return parser
 
 
+def add_int8_flags(parser):
+    """Shared w8a8 int8 inference flags (quantize.py).  --int8 enables the
+    quantized NB1d kernels; scales come from --q8-scales (JSON) when the
+    file exists, else from calibrating on the first --q8-calib-batches
+    input batches (and are saved to --q8-scales if given)."""
+    parser.add_argument("--int8", action="store_true",
+                        help="w8a8 int8 NB1d kernels (~1.3x MXU rate; "
+                             "small PTQ accuracy cost)")
+    parser.add_argument("--q8-scales", default=None,
+                        help="calibration scales JSON (loaded if present, "
+                             "written after calibration otherwise)")
+    parser.add_argument("--q8-calib-batches", type=int, default=4,
+                        help="batches to calibrate on when no scales "
+                             "file exists")
+    return parser
+
+
 def _apply_down_packed_eval(p, s, x, dtype, interpret):
     """DownsamplerBlock (conv || maxpool -> BN -> relu) via the packed
     Pallas eval kernel: conv + pool + folded running-stat BN + ReLU in
@@ -127,9 +144,13 @@ def _apply_ups_packed_eval(p, s, x, dtype, interpret):
     return y.reshape(B, 2 * H, 2 * W, cout), {"bn": s["bn"]}
 
 
-def _prepare(layers_params, layers_state, specs, dtype):
-    """Per-layer fused weights for every NB1d block."""
+def _prepare(layers_params, layers_state, specs, dtype, tag=None,
+             q8_scales=None):
+    """Per-layer fused weights for every NB1d block.  When calibrated
+    activation scales exist for (tag, i), an int8 w8a8 payload is built
+    alongside (``prepared_q8``) — see quantize.py / ops/pallas/nb1d_q8."""
     prepared = {}
+    prepared_q8 = {}
     for i, (kind, args) in enumerate(specs):
         if kind != "nb1d":
             continue
@@ -138,15 +159,27 @@ def _prepare(layers_params, layers_state, specs, dtype):
         if p is None:
             continue
         fused = fuse_nb1d_params(layers_params[i], layers_state[i])
+        acts = (q8_scales or {}).get((tag, i))
         if p == 1:
             prepared[i] = ("plain", fuse_nb1d_params(layers_params[i],
                                                      layers_state[i],
                                                      dtype=dtype), dil)
+            if acts is not None:
+                from .ops.pallas.nb1d_q8 import prepare_nb1d_q8
+                prepared_q8[i] = ("plain", prepare_nb1d_q8(fused, acts),
+                                  dil)
         else:
             weights, s2, s4 = pack_nb1d_for_pallas(fused, p, dil,
                                                    dtype=dtype)
             prepared[i] = ("packed", (weights, p, s2, s4), dil)
-    return prepared
+            if acts is not None:
+                from .ops.pallas.nb1d_q8 import prepare_nb1d_q8
+                wf32, _, _ = pack_nb1d_for_pallas(fused, p, dil,
+                                                  dtype=jnp.float32)
+                prepared_q8[i] = ("packed",
+                                  (prepare_nb1d_q8(wf32, acts), p, s2, s4),
+                                  dil)
+    return prepared, prepared_q8
 
 
 def _eligible(shape, p):
@@ -155,9 +188,12 @@ def _eligible(shape, p):
             and h * (w // p) * (c * p) <= _MAX_MAP_ELEMS)
 
 
-def _find_stack(specs, layers_params, layers_state, dtype):
+def _find_stack(specs, layers_params, layers_state, dtype, tag=None,
+                q8_scales=None):
     """Longest run of consecutive plain (C=128) NB1d blocks -> one fused
-    multi-block kernel. Returns (start, covered_set, stacked, dils)."""
+    multi-block kernel. Returns (start, covered_set, stacked, dils, q8)
+    where q8 is (stacked int8 arrays, static inv_ins) when every covered
+    block has calibrated scales, else None."""
     best = None
     run = []
     for i, (kind, args) in enumerate(specs + [("end", ())]):
@@ -173,15 +209,28 @@ def _find_stack(specs, layers_params, layers_state, dtype):
              for i in best]
     stacked = stack_nb1d_params(fused, dtype=dtype)
     dils = tuple(specs[i][1][2] for i in best)
-    return best[0], set(best), stacked, dils
+    q8 = None
+    if q8_scales and all((tag, i) in q8_scales for i in best):
+        from .ops.pallas.nb1d_q8 import prepare_nb1d_q8, stack_nb1d_q8
+        q8 = stack_nb1d_q8([prepare_nb1d_q8(f, q8_scales[(tag, i)])
+                            for f, i in zip(fused, best)])
+    return best[0], set(best), stacked, dils, q8
 
 
 def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
-                   up_matmuls=None):
+                   up_matmuls=None, prepared_q8=None):
+    prepared_q8 = prepared_q8 or {}
+
     def layer_fn(kind, i, params, state, x, spec):
         if stack is not None:
-            start, covered, stacked, dils = stack
+            start, covered, stacked, dils, q8stack = stack
             if i == start and _eligible(x.shape, 1):
+                if q8stack is not None:
+                    from .ops.pallas.nb1d_q8 import nb1d_stack_infer_q8
+                    q8arrs, inv_ins = q8stack
+                    return (nb1d_stack_infer_q8(x.astype(dtype), q8arrs,
+                                                dils=dils, inv_ins=inv_ins,
+                                                interpret=interpret), state)
                 return (nb1d_stack_infer(x.astype(dtype), stacked,
                                          dils=dils, interpret=interpret),
                         state)
@@ -204,6 +253,22 @@ def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
             return apply_upsampler(params, state, x, train=False,
                                    compute_dtype=dtype)
         c, _drop, dil = spec
+        q8entry = prepared_q8.get(i)
+        if q8entry is not None:
+            mode, payload, d = q8entry
+            if mode == "plain" and _eligible(x.shape, 1):
+                from .ops.pallas.nb1d_q8 import nb1d_infer_q8
+                return (nb1d_infer_q8(x.astype(dtype), payload, dilated=d,
+                                      interpret=interpret), state)
+            if mode == "packed":
+                q8w, p, s2, s4 = payload
+                if _eligible(x.shape, p):
+                    from .ops.pallas.nb1d_q8 import nb1d_infer_packed_q8
+                    return (nb1d_infer_packed_q8(x.astype(dtype), q8w, p=p,
+                                                 dilated=d, s2=s2, s4=s4,
+                                                 interpret=interpret),
+                            state)
+            # big maps fall through to the bf16 blocked/chunked kernels
         entry = prepared.get(i)
         if entry is not None:
             mode, payload, d = entry
@@ -248,7 +313,7 @@ def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
 
 def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
                      use_pallas=True, interpret=False, use_stack=True,
-                     use_convt_mm=False, preds_only=False):
+                     use_convt_mm=False, preds_only=False, q8_scales=None):
     # use_convt_mm: the parity-plane matmul formulation measured SLOWER than
     # XLA's conv_transpose on v5e (the 4 shifted input copies round-trip
     # HBM); kept for the future VMEM-resident kernel variant.
@@ -259,7 +324,11 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
     full-resolution logits never touch HBM (the XLA argmax fusion on the
     lane-padded (B, H, W, 20) logits measured ~15 ms/step at batch 8,
     ~half the whole pipeline).  This is the path every eval CLI needs
-    (`outputs.max(1)[1]` — SURVEY.md §2a rows 14-16)."""
+    (`outputs.max(1)[1]` — SURVEY.md §2a rows 14-16).
+
+    q8_scales: calibrated activation absmaxes (quantize.py) — when given,
+    eligible NB1d blocks run as w8a8 int8 kernels (~1.3x the bf16 MXU
+    rate; scripts/tpu_q8_microbench.py) with bf16 I/O."""
     # compiled Pallas requires a TPU; CPU gets the (slow) interpreter
     interpret = interpret or jax.default_backend() == "cpu"
     if not use_pallas:
@@ -271,17 +340,20 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
             return preds if preds_only else (logits, preds)
         return infer_xla
 
-    enc_prep = _prepare(params["encoder"]["layers"],
-                        batch_stats["encoder"]["layers"],
-                        ENCODER_LAYER_SPECS, dtype)
-    dec_prep = _prepare(params["decoder"]["layers"],
-                        batch_stats["decoder"]["layers"],
-                        DECODER_LAYER_SPECS, dtype)
+    enc_prep, enc_prep_q8 = _prepare(params["encoder"]["layers"],
+                                     batch_stats["encoder"]["layers"],
+                                     ENCODER_LAYER_SPECS, dtype,
+                                     tag="encoder", q8_scales=q8_scales)
+    dec_prep, dec_prep_q8 = _prepare(params["decoder"]["layers"],
+                                     batch_stats["decoder"]["layers"],
+                                     DECODER_LAYER_SPECS, dtype,
+                                     tag="decoder", q8_scales=q8_scales)
     enc_stack = None
     if use_stack:
         enc_stack = _find_stack(ENCODER_LAYER_SPECS,
                                 params["encoder"]["layers"],
-                                batch_stats["encoder"]["layers"], dtype)
+                                batch_stats["encoder"]["layers"], dtype,
+                                tag="encoder", q8_scales=q8_scales)
     up_matmuls = None
     head_fn = None
     if use_convt_mm:
@@ -300,9 +372,9 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
                                               head_b)
 
     enc_fn = _make_layer_fn(enc_prep, dtype, interpret, ENCODER_LAYER_SPECS,
-                            stack=enc_stack)
+                            stack=enc_stack, prepared_q8=enc_prep_q8)
     dec_fn = _make_layer_fn(dec_prep, dtype, interpret, DECODER_LAYER_SPECS,
-                            up_matmuls=up_matmuls)
+                            up_matmuls=up_matmuls, prepared_q8=dec_prep_q8)
 
     def initial_fn(p, s, ximg):
         out = _apply_down_packed_eval(p, s, ximg, dtype, interpret)

@@ -27,11 +27,13 @@ from .inference import build_fast_infer
 
 class StreamingSegmenter:
     def __init__(self, params, batch_stats, *, dtype=jnp.bfloat16,
-                 use_pallas=True, output: str = "color"):
+                 use_pallas=True, output: str = "color", q8_scales=None):
         """output: 'color' (palette RGB), 'labelId' (server remap) or
-        'trainId' (raw argmax)."""
+        'trainId' (raw argmax).  q8_scales: optional w8a8 int8 calibration
+        (quantize.py)."""
         infer = build_fast_infer(params, batch_stats, dtype=dtype,
-                                 use_pallas=use_pallas, preds_only=True)
+                                 use_pallas=use_pallas, preds_only=True,
+                                 q8_scales=q8_scales)
         @jax.jit
         def step(images):
             pred = infer(images)
