@@ -135,9 +135,16 @@ def resolve_q8_scales(args, params, batch_stats, calib_batches):
         print(f"int8: loading calibration scales from {path}")
         return load_q8_scales(path)
     n = max(1, int(getattr(args, "q8_calib_batches", 4)))
-    print(f"int8: calibrating activation scales on {n} batches")
-    scales = calibrate_q8_scales(params, batch_stats,
-                                 itertools.islice(iter(calib_batches), n))
+    used = 0
+
+    def counted():
+        nonlocal used
+        for b in itertools.islice(iter(calib_batches), n):
+            used += 1
+            yield b
+
+    scales = calibrate_q8_scales(params, batch_stats, counted())
+    print(f"int8: calibrated activation scales on {used} batches")
     if path:
         save_q8_scales(path, scales)
         print(f"int8: saved calibration scales to {path}")

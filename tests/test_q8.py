@@ -151,3 +151,52 @@ def test_calibrate_and_fast_infer_q8_end_to_end(tmp_path):
     lq, _ = infer_q(x)
     rel = float(jnp.linalg.norm(lq - lf) / jnp.linalg.norm(lf))
     assert rel < 0.06, rel
+
+
+def test_q8_routing_engaged(monkeypatch):
+    """With scales present, eligible blocks must actually take the q8
+    kernels (a silent bf16 fallback would pass the numerics test)."""
+    import erfnet_pytorch_tpu.ops.pallas.nb1d_q8 as q8mod
+    from erfnet_pytorch_tpu.inference import (build_fast_infer, _prepare,
+                                              _find_stack)
+    from erfnet_pytorch_tpu.models.erfnet import (ENCODER_LAYER_SPECS,
+                                                  DECODER_LAYER_SPECS)
+    params, state = _tiny_model(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 128, 3),
+                           jnp.float32)
+    scales = calibrate_q8_scales(params, state, [x])
+
+    # every prepared NB1d block gets a q8 payload; the stack goes q8
+    for tag, specs, layers in (("encoder", ENCODER_LAYER_SPECS, "encoder"),
+                               ("decoder", DECODER_LAYER_SPECS, "decoder")):
+        prep, prep_q8 = _prepare(params[layers]["layers"],
+                                 state[layers]["layers"], specs,
+                                 jnp.float32, tag=tag, q8_scales=scales)
+        assert set(prep_q8) == set(prep) and prep
+    stack = _find_stack(ENCODER_LAYER_SPECS, params["encoder"]["layers"],
+                        state["encoder"]["layers"], jnp.float32,
+                        tag="encoder", q8_scales=scales)
+    assert stack is not None and stack[4] is not None
+
+    calls = {"stack": 0, "packed": 0}
+    real_stack, real_packed = (q8mod.nb1d_stack_infer_q8,
+                               q8mod.nb1d_infer_packed_q8)
+
+    def count(name, fn):
+        def wrapped(*a, **k):
+            calls[name] += 1
+            return fn(*a, **k)
+        return wrapped
+
+    monkeypatch.setattr(q8mod, "nb1d_stack_infer_q8",
+                        count("stack", real_stack))
+    monkeypatch.setattr(q8mod, "nb1d_infer_packed_q8",
+                        count("packed", real_packed))
+    infer = build_fast_infer(params, state, dtype=jnp.float32,
+                             use_pallas=True, interpret=True,
+                             q8_scales=scales, preds_only=True)
+    infer(x)
+    # the dilated C=128 run goes through ONE stack call; every C=64/16
+    # block (5 encoder stage-2 + 4 decoder) through the packed q8 kernel
+    assert calls["stack"] == 1
+    assert calls["packed"] == 9
