@@ -23,6 +23,7 @@ from .models.erfnet import (ENCODER_LAYER_SPECS, DECODER_LAYER_SPECS,
                             apply_non_bottleneck_1d)
 from .ops.pallas.nb1d import (fuse_nb1d_params, nb1d_infer,
                               nb1d_infer_packed, nb1d_stack_infer,
+                              nb1d_stack_infer_packed,
                               stack_nb1d_params, nb1d_infer_chunked,
                               nb1d_infer_packed_chunked,
                               nb1d_chunk_supported,
@@ -188,54 +189,104 @@ def _eligible(shape, p):
             and h * (w // p) * (c * p) <= _MAX_MAP_ELEMS)
 
 
-def _find_stack(specs, layers_params, layers_state, dtype, tag=None,
-                q8_scales=None):
-    """Longest run of consecutive plain (C=128) NB1d blocks -> one fused
-    multi-block kernel. Returns (start, covered_set, stacked, dils, q8)
-    where q8 is (stacked int8 arrays, static inv_ins) when every covered
-    block has calibrated scales, else None."""
-    best = None
+# Whole-map multi-block kernels for space-to-depth packed runs: measured
+# SLOWER than per-block calls on v5e (stage-2 5x C=64 @ B=32: 39.4 vs
+# 37.9 us/img/block, scripts/tpu_stack_ab.py) — at 2M-element maps the
+# mono-kernel's VMEM footprint stalls Mosaic's cross-program DMA
+# pipelining, unlike the 1M-element plain C=128 stack (20.9 vs 28.4,
+# a 26% win).  Kernel kept (nb1d_stack_infer_packed) for shapes/hardware
+# where the tradeoff flips.
+_PACKED_STACKS = False
+
+
+def _find_stacks(specs, layers_params, layers_state, dtype, tag=None,
+                 q8_scales=None):
+    """Every maximal run (len >= 2) of consecutive same-C NB1d blocks ->
+    one fused multi-block kernel (plain C=128 runs; packed runs only when
+    _PACKED_STACKS — see the negative result above).  Returns
+    {start: (covered_set, p, stacked, shifts, q8)} where q8 is
+    (stacked int8 arrays, static inv_ins) for runs whose blocks all have
+    calibrated scales, else None."""
+    runs = []
     run = []
-    for i, (kind, args) in enumerate(specs + [("end", ())]):
-        if kind == "nb1d" and args[0] == 128:
+    for i, (kind, args) in enumerate(list(specs) + [("end", ())]):
+        if (kind == "nb1d" and args[0] in _PACK
+                and (not run or specs[run[-1]][1][0] == args[0])):
             run.append(i)
         else:
-            if len(run) >= 2 and (best is None or len(run) > len(best)):
-                best = list(run)
-            run = []
-    if best is None:
-        return None
-    fused = [fuse_nb1d_params(layers_params[i], layers_state[i])
-             for i in best]
-    stacked = stack_nb1d_params(fused, dtype=dtype)
-    dils = tuple(specs[i][1][2] for i in best)
-    q8 = None
-    if q8_scales and all((tag, i) in q8_scales for i in best):
-        from .ops.pallas.nb1d_q8 import prepare_nb1d_q8, stack_nb1d_q8
-        q8 = stack_nb1d_q8([prepare_nb1d_q8(f, q8_scales[(tag, i)])
-                            for f, i in zip(fused, best)])
-    return best[0], set(best), stacked, dils, q8
+            if len(run) >= 2:
+                runs.append(run)
+            run = [i] if kind == "nb1d" and args[0] in _PACK else []
+    stacks = {}
+    for blocks in runs:
+        C = specs[blocks[0]][1][0]
+        p = _PACK[C]
+        if p != 1 and not _PACKED_STACKS:
+            continue
+        dils = [specs[i][1][2] for i in blocks]
+        fused = [fuse_nb1d_params(layers_params[i], layers_state[i])
+                 for i in blocks]
+        q8 = None
+        if p == 1:
+            stacked = stack_nb1d_params(fused, dtype=dtype)
+            shifts = tuple((1, 1, d, d) for d in dils)
+            if q8_scales and all((tag, i) in q8_scales for i in blocks):
+                from .ops.pallas.nb1d_q8 import (prepare_nb1d_q8,
+                                                 stack_nb1d_q8)
+                q8 = stack_nb1d_q8([prepare_nb1d_q8(f, q8_scales[(tag, i)])
+                                    for f, i in zip(fused, blocks)])
+        else:
+            packed = [pack_nb1d_for_pallas(f, p, d, dtype=dtype)
+                      for f, d in zip(fused, dils)]
+            stacked = stack_nb1d_params([w for w, _, _ in packed],
+                                        dtype=dtype)
+            shifts = tuple((1, s2, d, s4)
+                           for (_, s2, s4), d in zip(packed, dils))
+            if q8_scales and all((tag, i) in q8_scales for i in blocks):
+                from .ops.pallas.nb1d_q8 import (prepare_nb1d_q8,
+                                                 stack_nb1d_q8)
+                pf32 = [pack_nb1d_for_pallas(f, p, d, dtype=jnp.float32)[0]
+                        for f, d in zip(fused, dils)]
+                q8 = stack_nb1d_q8(
+                    [prepare_nb1d_q8(w, q8_scales[(tag, i)])
+                     for w, i in zip(pf32, blocks)])
+        stacks[blocks[0]] = (set(blocks), p, stacked, shifts, q8)
+    return stacks
 
 
-def _make_layer_fn(prepared, dtype, interpret, specs, stack=None,
+def _make_layer_fn(prepared, dtype, interpret, specs, stacks=None,
                    up_matmuls=None, prepared_q8=None):
     prepared_q8 = prepared_q8 or {}
+    cover = {}  # block idx -> its run's start idx
+    for start, (covered, *_rest) in (stacks or {}).items():
+        for i in covered:
+            cover[i] = start
 
     def layer_fn(kind, i, params, state, x, spec):
-        if stack is not None:
-            start, covered, stacked, dils, q8stack = stack
-            if i == start and _eligible(x.shape, 1):
+        if i in cover:
+            start = cover[i]
+            covered, p, stacked, shifts, q8stack = stacks[start]
+            if _eligible(x.shape, p):
+                if i != start:
+                    return x, state  # consumed by the stack at `start`
                 if q8stack is not None:
-                    from .ops.pallas.nb1d_q8 import nb1d_stack_infer_q8
+                    from .ops.pallas.nb1d_q8 import (
+                        nb1d_stack_infer_q8, nb1d_stack_infer_packed_q8)
                     q8arrs, inv_ins = q8stack
-                    return (nb1d_stack_infer_q8(x.astype(dtype), q8arrs,
-                                                dils=dils, inv_ins=inv_ins,
+                    if p == 1:
+                        return (nb1d_stack_infer_q8(
+                            x.astype(dtype), q8arrs, shifts=shifts,
+                            inv_ins=inv_ins, interpret=interpret), state)
+                    return (nb1d_stack_infer_packed_q8(
+                        x.astype(dtype), q8arrs, p=p, shifts=shifts,
+                        inv_ins=inv_ins, interpret=interpret), state)
+                if p == 1:
+                    return (nb1d_stack_infer(x.astype(dtype), stacked,
+                                             shifts=shifts,
+                                             interpret=interpret), state)
+                return (nb1d_stack_infer_packed(x.astype(dtype), stacked,
+                                                p=p, shifts=shifts,
                                                 interpret=interpret), state)
-                return (nb1d_stack_infer(x.astype(dtype), stacked,
-                                         dils=dils, interpret=interpret),
-                        state)
-            if i in covered and i != start and _eligible(x.shape, 1):
-                return x, state  # consumed by the stack at `start`
         if kind == "down":
             out = _apply_down_packed_eval(params, state, x, dtype, interpret)
             if out is not None:
@@ -348,12 +399,16 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
                                      batch_stats["decoder"]["layers"],
                                      DECODER_LAYER_SPECS, dtype,
                                      tag="decoder", q8_scales=q8_scales)
-    enc_stack = None
+    enc_stacks = dec_stacks = None
     if use_stack:
-        enc_stack = _find_stack(ENCODER_LAYER_SPECS,
-                                params["encoder"]["layers"],
-                                batch_stats["encoder"]["layers"], dtype,
-                                tag="encoder", q8_scales=q8_scales)
+        enc_stacks = _find_stacks(ENCODER_LAYER_SPECS,
+                                  params["encoder"]["layers"],
+                                  batch_stats["encoder"]["layers"], dtype,
+                                  tag="encoder", q8_scales=q8_scales)
+        dec_stacks = _find_stacks(DECODER_LAYER_SPECS,
+                                  params["decoder"]["layers"],
+                                  batch_stats["decoder"]["layers"], dtype,
+                                  tag="decoder", q8_scales=q8_scales)
     up_matmuls = None
     head_fn = None
     if use_convt_mm:
@@ -372,9 +427,10 @@ def build_fast_infer(params, batch_stats, *, dtype=jnp.bfloat16,
                                               head_b)
 
     enc_fn = _make_layer_fn(enc_prep, dtype, interpret, ENCODER_LAYER_SPECS,
-                            stack=enc_stack, prepared_q8=enc_prep_q8)
+                            stacks=enc_stacks, prepared_q8=enc_prep_q8)
     dec_fn = _make_layer_fn(dec_prep, dtype, interpret, DECODER_LAYER_SPECS,
-                            up_matmuls=up_matmuls, prepared_q8=dec_prep_q8)
+                            stacks=dec_stacks, up_matmuls=up_matmuls,
+                            prepared_q8=dec_prep_q8)
 
     def initial_fn(p, s, ximg):
         out = _apply_down_packed_eval(p, s, ximg, dtype, interpret)

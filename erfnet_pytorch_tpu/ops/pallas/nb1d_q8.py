@@ -220,30 +220,25 @@ def nb1d_infer_packed_q8(x, q, *, p: int, dilated: int, s2: int, s4: int,
                                  interpret=interpret)
 
 
-def _nb1d_q8_stack_kernel(x_ref, *refs, dils, H, W, C, inv_ins):
+def _nb1d_q8_stack_kernel(x_ref, *refs, shifts, H, W, C, inv_ins):
     qs = {}
-    K = len(dils)
     for k, r in zip(_Q_KEYS, refs[:-1]):
         qs[k] = r[:]
     out_ref = refs[-1]
     x = x_ref[0].astype(jnp.float32)
-    for j, d in enumerate(dils):
+    for j, s in enumerate(shifts):
         q = {k: qs[k][j] for k in _Q_KEYS}
-        x = _q8_block(x, q, shifts=(1, 1, d, d), H=H, W=W, C=C,
-                      inv_in=inv_ins[j])
+        x = _q8_block(x, q, shifts=s, H=H, W=W, C=C, inv_in=inv_ins[j])
     out_ref[0] = x.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dils", "inv_ins", "interpret"))
-def nb1d_stack_infer_q8(x, stacked, *, dils, inv_ins,
-                        interpret: bool = False):
-    """int8 fused run of len(dils) consecutive NB1d blocks: drop-in for
-    nb1d_stack_infer.  stacked: dict of (K,3,C,C) int8 / (K,C) f32 arrays
-    (see stack_nb1d_q8); inv_ins: static per-block 1/s_in tuple."""
+@functools.partial(jax.jit, static_argnames=("shifts", "inv_ins",
+                                             "interpret"))
+def _stack_q8_call(x, stacked, *, shifts, inv_ins, interpret):
     B, H, W, C = x.shape
-    K = len(dils)
-    kernel = functools.partial(_nb1d_q8_stack_kernel, dils=dils, H=H, W=W,
-                               C=C, inv_ins=inv_ins)
+    K = len(shifts)
+    kernel = functools.partial(_nb1d_q8_stack_kernel, shifts=shifts, H=H,
+                               W=W, C=C, inv_ins=inv_ins)
     qspec = pl.BlockSpec((K, 3, C, C), lambda b: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((K, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
@@ -267,8 +262,34 @@ def nb1d_stack_infer_q8(x, stacked, *, dils, inv_ins,
     )(x, *(stacked[k] for k in _Q_KEYS))
 
 
+def nb1d_stack_infer_q8(x, stacked, *, inv_ins, dils=None, shifts=None,
+                        interpret: bool = False):
+    """int8 fused run of K consecutive NB1d blocks: drop-in for
+    nb1d_stack_infer.  stacked: dict of (K,3,C,C) int8 / (K,C) f32 arrays
+    (see stack_nb1d_q8); inv_ins: static per-block 1/s_in tuple.  Pass
+    ``dils`` for plain blocks or per-block ``shifts`` for packed runs."""
+    if shifts is None:
+        shifts = tuple((1, 1, d, d) for d in dils)
+    return _stack_q8_call(x, stacked, shifts=shifts, inv_ins=inv_ins,
+                          interpret=interpret)
+
+
 def stack_nb1d_q8(q_list: Sequence[Dict[str, jnp.ndarray]]):
     """[prepare_nb1d_q8 outputs] -> (stacked arrays, static inv_ins)."""
     out = {k: jnp.stack([q[k] for q in q_list]) for k in _Q_KEYS}
     inv_ins = tuple(1.0 / float(q["s_in"]) for q in q_list)
     return out, inv_ins
+
+
+@functools.partial(jax.jit, static_argnames=("p", "shifts", "inv_ins",
+                                             "interpret"))
+def nb1d_stack_infer_packed_q8(x, stacked, *, p: int, shifts, inv_ins,
+                               interpret: bool = False):
+    """int8 fused run of K space-to-depth packed NB1d blocks: drop-in for
+    nb1d_stack_infer_packed (stacked built from pack_nb1d_for_pallas f32
+    stacks)."""
+    B, H, W, C = x.shape
+    X = x.reshape(B, H, W // p, p * C)
+    out = _stack_q8_call(X, stacked, shifts=shifts, inv_ins=inv_ins,
+                         interpret=interpret)
+    return out.reshape(B, H, W, C)

@@ -152,3 +152,34 @@ def test_nb1d_packed_blocked_matches_whole_map():
                                     max_elems=(8 + 2 * (1 + d) + 6)
                                     * 16 * 128)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_nb1d_stack_infer_packed_matches_blockwise():
+    """One packed multi-block kernel == the per-block packed kernels
+    (exact: same weights, same per-block dtype casts)."""
+    import jax
+    import jax.numpy as jnp
+    from erfnet_pytorch_tpu.ops.pallas.nb1d import (
+        fuse_nb1d_params, nb1d_infer_packed, nb1d_stack_infer_packed,
+        stack_nb1d_params)
+    from erfnet_pytorch_tpu.ops.packed import pack_nb1d_for_pallas
+    from erfnet_pytorch_tpu.models.erfnet import init_non_bottleneck_1d
+
+    p = 2
+    dils = (1, 1, 2)
+    blocks = [init_non_bottleneck_1d(k, 64)
+              for k in jax.random.split(jax.random.PRNGKey(0), len(dils))]
+    packed = [pack_nb1d_for_pallas(fuse_nb1d_params(bp, bs), p, d)
+              for (bp, bs), d in zip(blocks, dils)]
+    stacked = stack_nb1d_params([w for w, _, _ in packed])
+    shifts = tuple((1, s2, d, s4)
+                   for (_, s2, s4), d in zip(packed, dils))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 64))
+    out = nb1d_stack_infer_packed(x, stacked, p=p, shifts=shifts,
+                                  interpret=True)
+    ref = x
+    for (w, s2, s4), d in zip(packed, dils):
+        ref = nb1d_infer_packed(ref, w, p=p, dilated=d, s2=s2, s4=s4,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

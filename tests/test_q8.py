@@ -158,7 +158,7 @@ def test_q8_routing_engaged(monkeypatch):
     kernels (a silent bf16 fallback would pass the numerics test)."""
     import erfnet_pytorch_tpu.ops.pallas.nb1d_q8 as q8mod
     from erfnet_pytorch_tpu.inference import (build_fast_infer, _prepare,
-                                              _find_stack)
+                                              _find_stacks)
     from erfnet_pytorch_tpu.models.erfnet import (ENCODER_LAYER_SPECS,
                                                   DECODER_LAYER_SPECS)
     params, state = _tiny_model(jax.random.PRNGKey(0))
@@ -173,14 +173,14 @@ def test_q8_routing_engaged(monkeypatch):
                                  state[layers]["layers"], specs,
                                  jnp.float32, tag=tag, q8_scales=scales)
         assert set(prep_q8) == set(prep) and prep
-    stack = _find_stack(ENCODER_LAYER_SPECS, params["encoder"]["layers"],
-                        state["encoder"]["layers"], jnp.float32,
-                        tag="encoder", q8_scales=scales)
-    assert stack is not None and stack[4] is not None
+    stacks = _find_stacks(ENCODER_LAYER_SPECS, params["encoder"]["layers"],
+                          state["encoder"]["layers"], jnp.float32,
+                          tag="encoder", q8_scales=scales)
+    # the plain C=128 dilated run carries a q8 stack payload
+    assert any(p == 1 and q8 is not None
+               for (_, p, _, _, q8) in stacks.values())
 
-    calls = {"stack": 0, "packed": 0}
-    real_stack, real_packed = (q8mod.nb1d_stack_infer_q8,
-                               q8mod.nb1d_infer_packed_q8)
+    calls = {"stack": 0, "packed_stack": 0, "packed": 0}
 
     def count(name, fn):
         def wrapped(*a, **k):
@@ -189,14 +189,19 @@ def test_q8_routing_engaged(monkeypatch):
         return wrapped
 
     monkeypatch.setattr(q8mod, "nb1d_stack_infer_q8",
-                        count("stack", real_stack))
+                        count("stack", q8mod.nb1d_stack_infer_q8))
+    monkeypatch.setattr(q8mod, "nb1d_stack_infer_packed_q8",
+                        count("packed_stack",
+                              q8mod.nb1d_stack_infer_packed_q8))
     monkeypatch.setattr(q8mod, "nb1d_infer_packed_q8",
-                        count("packed", real_packed))
+                        count("packed", q8mod.nb1d_infer_packed_q8))
     infer = build_fast_infer(params, state, dtype=jnp.float32,
                              use_pallas=True, interpret=True,
                              q8_scales=scales, preds_only=True)
     infer(x)
-    # the dilated C=128 run goes through ONE stack call; every C=64/16
-    # block (5 encoder stage-2 + 4 decoder) through the packed q8 kernel
+    # the dilated C=128 run -> ONE plain q8 stack call; packed runs stay
+    # per-block (inference._PACKED_STACKS negative result): 5 encoder
+    # C=64 + 2+2 decoder blocks
     assert calls["stack"] == 1
+    assert calls["packed_stack"] == 0
     assert calls["packed"] == 9
