@@ -1,0 +1,188 @@
+"""AOT serving artifacts: the fast-infer function serialized to StableHLO.
+
+The reference's deployment story is "ship a frozen ``.pth`` and run it
+through the eval scripts" (``trained_models/erfnet_pretrained.pth`` +
+``eval/eval_cityscapes_color.py`` — SURVEY.md §2a rows 15/19).  The
+TPU-native production equivalent built here: ``jax.export`` the jitted
+inference function — weights embedded as module constants, Pallas kernels
+included as Mosaic custom calls on TPU — into a single self-contained
+bundle that a serving host loads and compiles WITHOUT the model code,
+the checkpoint, or the Python preparation pass.
+
+Bundle format (``.erfx``): magic + JSON header + one serialized
+``jax.export.Exported`` blob per batch-size bucket.  Each blob embeds its
+own copy of the (folded) weights — ~8 MB/bucket for ERFNet-20 — so the
+loader never reconciles shards; keep the bucket list short.
+
+``Servable.predict`` routes a request to the smallest bucket that fits,
+zero-padding the batch dim and slicing the answer back — static shapes
+for XLA, dynamic batches for callers.
+
+Portability: an artifact exported with ``use_pallas=True`` contains
+Mosaic TPU custom calls and runs only on TPU runtimes compatible with
+the exporting jaxlib (jax.export's custom-call compatibility window);
+``use_pallas=False`` emits pure StableHLO that any XLA backend compiles
+(pass ``platforms=("cpu", "tpu")`` to lower for both).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from .inference import build_fast_infer
+
+_MAGIC = b"ERFX0001"
+
+
+def _dtype_name(dtype) -> str:
+    return jnp.dtype(dtype).name
+
+
+def export_infer(params, batch_stats, *, batch_size: int, height: int = 512,
+                 width: int = 1024, dtype=jnp.bfloat16,
+                 use_pallas: Optional[bool] = None, preds_only: bool = True,
+                 platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize one (batch, height, width) inference program to bytes.
+
+    use_pallas=None picks the fused path on TPU and the portable XLA
+    path elsewhere (compiled Pallas needs a TPU; interpret-mode Pallas
+    is an eager emulation jax.export cannot capture).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    infer = build_fast_infer(params, batch_stats, dtype=dtype,
+                             use_pallas=use_pallas, preds_only=preds_only)
+    x_spec = jax.ShapeDtypeStruct((batch_size, height, width, 3),
+                                  jnp.float32)
+    exp = jax_export.export(
+        infer, platforms=list(platforms) if platforms else None)(x_spec)
+    return bytes(exp.serialize())
+
+
+def save_servable(path: str, params, batch_stats, *,
+                  batch_sizes: Sequence[int] = (1, 8), height: int = 512,
+                  width: int = 1024, dtype=jnp.bfloat16,
+                  use_pallas: Optional[bool] = None, preds_only: bool = True,
+                  platforms: Optional[Sequence[str]] = None) -> Dict:
+    """Export one program per batch bucket and write the ``.erfx`` bundle.
+
+    Returns the header dict (sizes included) for logging."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    blobs = []
+    entries = []
+    offset = 0
+    for b in sorted(set(int(b) for b in batch_sizes)):
+        blob = export_infer(params, batch_stats, batch_size=b, height=height,
+                            width=width, dtype=dtype, use_pallas=use_pallas,
+                            preds_only=preds_only, platforms=platforms)
+        entries.append({"batch": b, "offset": offset, "size": len(blob)})
+        blobs.append(blob)
+        offset += len(blob)
+    header = {
+        "height": height, "width": width,
+        "dtype": _dtype_name(dtype),
+        "use_pallas": bool(use_pallas),
+        "preds_only": bool(preds_only),
+        "platforms": list(platforms) if platforms else None,
+        "jax_version": jax.__version__,
+        "entries": entries,
+    }
+    hdr = json.dumps(header).encode()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(hdr)))
+        f.write(hdr)
+        for blob in blobs:
+            f.write(blob)
+    os.replace(tmp, path)
+    return header
+
+
+class Servable:
+    """A loaded ``.erfx`` bundle: compiled-on-demand inference buckets.
+
+    ``call(images)`` requires an exact bucket batch; ``predict(images)``
+    pads any batch up to the smallest bucket that fits.  Outputs follow
+    the export-time contract: ``preds_only`` bundles return ``(B, H, W)``
+    int32 class maps, otherwise ``(logits, preds)``.
+    """
+
+    def __init__(self, header: Dict, blobs: Dict[int, bytes]):
+        self.header = header
+        self._blobs = blobs
+        self._fns: Dict[int, object] = {}
+
+    @property
+    def batch_sizes(self) -> Tuple[int, ...]:
+        return tuple(sorted(self._blobs))
+
+    @property
+    def input_hw(self) -> Tuple[int, int]:
+        return self.header["height"], self.header["width"]
+
+    def _fn(self, batch: int):
+        if batch not in self._fns:
+            exp = jax_export.deserialize(bytearray(self._blobs[batch]))
+            self._fns[batch] = jax.jit(exp.call)
+        return self._fns[batch]
+
+    def call(self, images):
+        b = images.shape[0]
+        if b not in self._blobs:
+            raise ValueError(f"no bucket for batch {b}; have "
+                             f"{self.batch_sizes}")
+        return self._fn(b)(images)
+
+    def predict(self, images):
+        b = images.shape[0]
+        fits = [n for n in self.batch_sizes if n >= b]
+        if not fits:
+            raise ValueError(f"batch {b} exceeds largest bucket "
+                             f"{self.batch_sizes[-1]}")
+        n = fits[0]
+        if n != b:
+            pad = jnp.zeros((n - b,) + images.shape[1:], images.dtype)
+            images = jnp.concatenate([images, pad], axis=0)
+        out = self._fn(n)(images)
+        if self.header["preds_only"]:
+            return out[:b]
+        logits, preds = out
+        return logits[:b], preds[:b]
+
+
+def load_servable(path: str) -> Servable:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not an .erfx bundle "
+                             f"(magic {magic!r})")
+        (hdr_len,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hdr_len).decode())
+        body = f.read()
+    blobs = {}
+    for e in header["entries"]:
+        blobs[int(e["batch"])] = body[e["offset"]:e["offset"] + e["size"]]
+        if len(blobs[int(e["batch"])]) != e["size"]:
+            raise ValueError(f"{path}: truncated bundle (entry batch "
+                             f"{e['batch']})")
+    return Servable(header, blobs)
+
+
+def predict_uint8(servable: Servable, images_u8: np.ndarray):
+    """Serving convenience: uint8 HWC frames -> class-id maps.
+
+    Normalizes to [0, 1] float32 (the reference's ToTensor contract —
+    SURVEY.md §2a row 6) on device and routes through the bucketed
+    predict."""
+    x = jnp.asarray(images_u8, jnp.float32) / 255.0
+    return servable.predict(x)
