@@ -39,6 +39,10 @@ def build_parser():
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--erfx",
+                   help="serve from an exported .erfx bundle "
+                        "(cli.export_model) instead of weights; "
+                        "--loadDir/--pallas/--int8 are then ignored")
     add_pallas_flag(p)
     from ..inference import add_int8_flags
     add_int8_flags(p)
@@ -53,25 +57,31 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from ..utils.jax_cache import enable as _enable_cache
     _enable_cache()
-    weights_path = args.state or os.path.join(args.loadDir, args.loadWeights)
-    print(f"Loading weights: {weights_path}")
-    params, batch_stats = load_any_weights(weights_path)
-    print("Model and weights LOADED successfully")
-
-    from ..inference import resolve_use_pallas
     from ..streaming import StreamingSegmenter
     # explicit (h, w): the reference eval resize is Resize((512, 1024)) —
     # exact, not aspect-derived (eval/eval_iou.py:≈30)
     ds = CityscapesDataset(args.datadir, args.subset,
                            size=(args.height, 2 * args.height))
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers)
-    from ..quantize import resolve_q8_scales
-    q8 = resolve_q8_scales(args, params, batch_stats,
-                           (b[0] for b in dl))
-    seg = StreamingSegmenter(params, batch_stats,
-                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                             use_pallas=resolve_use_pallas(args.pallas),
-                             output="labelId", q8_scales=q8)
+    if args.erfx:
+        print(f"Loading serving bundle: {args.erfx}")
+        seg = StreamingSegmenter.from_servable(args.erfx, output="labelId")
+    else:
+        weights_path = args.state or os.path.join(args.loadDir,
+                                                  args.loadWeights)
+        print(f"Loading weights: {weights_path}")
+        params, batch_stats = load_any_weights(weights_path)
+        print("Model and weights LOADED successfully")
+
+        from ..inference import resolve_use_pallas
+        from ..quantize import resolve_q8_scales
+        q8 = resolve_q8_scales(args, params, batch_stats,
+                               (b[0] for b in dl))
+        seg = StreamingSegmenter(
+            params, batch_stats,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            use_pallas=resolve_use_pallas(args.pallas),
+            output="labelId", q8_scales=q8)
     for ids, rels in seg.run(dl):
         ids = ids.astype(np.uint8)
         for i, rel in enumerate(rels):

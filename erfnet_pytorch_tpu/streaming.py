@@ -25,6 +25,15 @@ from .data.transforms import colorize, train_id_to_label_id
 from .inference import build_fast_infer
 
 
+def _postprocess(pred, output: str):
+    """trainId map -> requested on-device uint8 output form."""
+    if output == "color":
+        return colorize(pred)
+    if output == "labelId":
+        return train_id_to_label_id(pred).astype(jnp.uint8)
+    return pred.astype(jnp.uint8)
+
+
 class StreamingSegmenter:
     def __init__(self, params, batch_stats, *, dtype=jnp.bfloat16,
                  use_pallas=True, output: str = "color", q8_scales=None):
@@ -36,14 +45,34 @@ class StreamingSegmenter:
                                  q8_scales=q8_scales)
         @jax.jit
         def step(images):
-            pred = infer(images)
-            if output == "color":
-                return colorize(pred)
-            if output == "labelId":
-                return train_id_to_label_id(pred).astype(jnp.uint8)
-            return pred.astype(jnp.uint8)
+            return _postprocess(infer(images), output)
 
         self._step = step
+
+    @classmethod
+    def from_servable(cls, servable, *, output: str = "color"):
+        """Serve from an exported ``.erfx`` bundle (export.py) instead of
+        live weights: the forward is the bundle's deserialized jax.export
+        program (weights embedded — no model code or checkpoint on this
+        host); only the tiny colorize/remap post-pass compiles here."""
+        from .export import load_servable
+        if isinstance(servable, str):
+            servable = load_servable(servable)
+        hw = servable.input_hw
+        post = jax.jit(lambda pred: _postprocess(pred, output))
+
+        def step(images):
+            if tuple(images.shape[1:3]) != hw:
+                raise ValueError(
+                    f"bundle expects {hw[0]}x{hw[1]} inputs, got "
+                    f"{images.shape[1]}x{images.shape[2]}")
+            out = servable.predict(images)
+            pred = out[1] if isinstance(out, tuple) else out
+            return post(pred)
+
+        self = cls.__new__(cls)
+        self._step = step
+        return self
 
     def run(self, batches) -> Iterator[Tuple[np.ndarray, list]]:
         """batches: iterable of (images (B,H,W,3) device/host, rels, ...).

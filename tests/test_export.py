@@ -87,6 +87,50 @@ def test_load_rejects_bad_magic(tmp_path):
         load_servable(str(bad))
 
 
+def test_streaming_from_servable_matches_live(tmp_path, net,
+                                              fake_cityscapes):
+    """Directory streaming from a bundle == live-weights streaming."""
+    from erfnet_pytorch_tpu.streaming import StreamingSegmenter
+    from erfnet_pytorch_tpu.data.cityscapes import CityscapesDataset
+    from erfnet_pytorch_tpu.data.loader import DataLoader
+
+    params, state = net
+    path = str(tmp_path / "m.erfx")
+    save_servable(path, params, state, batch_sizes=(4,), height=64,
+                  width=128, dtype=jnp.float32, use_pallas=False)
+
+    ds = CityscapesDataset(fake_cityscapes, "val", height=64)
+    live = StreamingSegmenter(params, state, dtype=jnp.float32,
+                              use_pallas=False, output="color")
+    served = StreamingSegmenter.from_servable(path, output="color")
+    # batch 4 over 6 images: the final short batch exercises bucket padding
+    got_live = list(live.run(DataLoader(ds, 4, num_workers=2)))
+    got_srv = list(served.run(DataLoader(ds, 4, num_workers=2)))
+    assert len(got_live) == len(got_srv) == 2
+    for (a, ra), (b, rb) in zip(got_live, got_srv):
+        assert ra == rb
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="64x128"):
+        served.run([(jnp.zeros((1, 32, 64, 3)), None, ["x"])]).__next__()
+
+
+def test_color_cli_serves_from_erfx(tmp_path, net, fake_cityscapes):
+    from erfnet_pytorch_tpu.cli import eval_cityscapes_color
+
+    params, state = net
+    bundle = str(tmp_path / "m.erfx")
+    save_servable(bundle, params, state, batch_sizes=(4,), height=64,
+                  width=128, dtype=jnp.float32, use_pallas=False)
+    outdir = str(tmp_path / "save_color")
+    eval_cityscapes_color.main([
+        "--erfx", bundle, "--datadir", fake_cityscapes, "--subset", "val",
+        "--height", "64", "--batch-size", "4", "--outdir", outdir])
+    import glob
+    pngs = glob.glob(outdir + "/**/*.png", recursive=True)
+    assert len(pngs) == 6
+
+
 def test_export_cli_end_to_end(tmp_path, net):
     from erfnet_pytorch_tpu.cli import export_model
     from erfnet_pytorch_tpu.training.checkpoint import save_weights
