@@ -57,12 +57,17 @@ def benchmark(params, batch_stats, *, batch_size, height, width,
     x = jax.random.uniform(jax.random.PRNGKey(0),
                            (batch_size, height, width, 3))
 
+    # x is a jit ARGUMENT, not a closure: closed-over device arrays are
+    # serialized into the HLO, so the remote-compile request would grow
+    # with --batch-size (the TPU relay rejects oversized payloads).
     @jax.jit
-    def step(carry):
+    def _step(carry, x):
         # the carry dependency defeats constant folding AND serializes
         # executions on-device (utils/timing.py timing contract)
         _logits, pred = infer(params, batch_stats, x + carry * 0.0)
         return (pred.sum() % 1024).astype(jnp.float32)
+
+    step = lambda carry: _step(carry, x)
 
     # timed_chain runs one warm segment itself; honor larger --warmup.
     # Sync the carry to host every few dispatches: a flood of un-synced

@@ -57,11 +57,15 @@ def main():
         # '48 ms/img device-side' a measurement artifact)
         from erfnet_pytorch_tpu.utils.timing import timed_chain
 
+        # images is a jit ARGUMENT: closed-over arrays are serialized into
+        # the HLO, and at 1024x2048 the remote-compile request blows the
+        # relay's size limit past batch ~8 (batch 16 f32 input is 402 MB).
         @jax.jit
-        def dstep(carry):
+        def dstep(carry, images):
             out = seg._step(images + carry * 0)
             return (out.astype(jnp.int32).sum() % 1024).astype(jnp.float32)
-        dt = timed_chain(dstep, jnp.float32(0), args.iters, seg=4)
+        dt = timed_chain(lambda c: dstep(c, images), jnp.float32(0),
+                         args.iters, seg=4)
         print(f"device-only {args.height}x{args.width} batch={args.batch} "
               f"{dt * 1000:.1f} ms/batch  {args.batch / dt:.2f} img/s",
               flush=True)
