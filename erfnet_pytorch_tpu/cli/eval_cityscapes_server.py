@@ -35,6 +35,9 @@ def build_parser():
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=None,
+                   help="eval width (default 2*height, the reference's "
+                        "Resize((512, 1024)) contract)")
     p.add_argument("--outdir", default="save_results")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
@@ -42,7 +45,8 @@ def build_parser():
     p.add_argument("--erfx",
                    help="serve from an exported .erfx bundle "
                         "(cli.export_model) instead of weights; "
-                        "--loadDir/--pallas/--int8 are then ignored")
+                        "--loadDir/--pallas/--int8/--bf16 are then ignored "
+                        "(the bundle's export-time dtype wins)")
     add_pallas_flag(p)
     from ..inference import add_int8_flags
     add_int8_flags(p)
@@ -60,10 +64,14 @@ def main(argv=None):
     from ..streaming import StreamingSegmenter
     # explicit (h, w): the reference eval resize is Resize((512, 1024)) —
     # exact, not aspect-derived (eval/eval_iou.py:≈30)
+    width = args.width if args.width is not None else 2 * args.height
     ds = CityscapesDataset(args.datadir, args.subset,
-                           size=(args.height, 2 * args.height))
+                           size=(args.height, width))
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers)
     if args.erfx:
+        if args.bf16:
+            print("warning: --bf16 is ignored with --erfx "
+                  "(the bundle's export-time dtype wins)")
         print(f"Loading serving bundle: {args.erfx}")
         seg = StreamingSegmenter.from_servable(args.erfx, output="labelId")
     else:

@@ -41,6 +41,19 @@ def build_parser():
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=None,
+                   help="eval width (default 2*height, the reference's "
+                        "Resize((512, 1024)) contract)")
+    p.add_argument("--parity", action="store_true",
+                   help="one-command mIoU parity gate: force the exact "
+                        "reference protocol (512x1024 val, Resize bilinear "
+                        "/ nearest+Relabel, ignore-19), then print a "
+                        "PASS/FAIL verdict vs the published 72.20% +-0.3 "
+                        "(reference README.md:~60); exits 1 on FAIL")
+    p.add_argument("--parity-target", type=float, default=72.20,
+                   help="published mIoU %% to compare against in --parity")
+    p.add_argument("--parity-tol", type=float, default=0.3,
+                   help="+- tolerance in mIoU points for --parity")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
@@ -65,10 +78,21 @@ def main(argv=None):
 
     from ..inference import build_fast_infer, resolve_use_pallas
 
+    if args.parity:
+        # The standing BASELINE gate (SURVEY.md §6): exact reference
+        # protocol — 512x1024 bilinear input / nearest+Relabel target,
+        # the val subset (500 images on real Cityscapes), ignore-19.
+        w_eff = args.width if args.width is not None else 2 * args.height
+        if (args.height, w_eff, args.subset) != (512, 1024, "val"):
+            print(f"--parity: overriding --height/--width/--subset "
+                  f"({args.height}/{w_eff}/{args.subset}) with the "
+                  f"reference protocol 512/1024/val")
+        args.height, args.width, args.subset = 512, 1024, "val"
     # explicit (h, w): the reference eval resize is Resize((512, 1024)) —
     # exact, not aspect-derived (eval/eval_iou.py:≈30)
+    width = args.width if args.width is not None else 2 * args.height
     ds = CityscapesDataset(args.datadir, args.subset,
-                           size=(args.height, 2 * args.height))
+                           size=(args.height, width))
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers,
                     pad_final=True)
 
@@ -102,6 +126,16 @@ def main(argv=None):
     print("=======================================")
     print(f"{get_color_entry(mean_iou)}{mean_iou*100:.2f}{colors.ENDC}% "
           f"MEAN IoU")
+    if args.parity:
+        delta = mean_iou * 100 - args.parity_target
+        ok = abs(delta) <= args.parity_tol
+        print("=======================================")
+        print(f"PARITY {'PASS' if ok else 'FAIL'}: "
+              f"{mean_iou*100:.2f}% vs {args.parity_target:.2f}% "
+              f"(delta {delta:+.2f}, tolerance +-{args.parity_tol:.2f}) "
+              f"over {len(ds)} {args.subset} images")
+        if not ok:
+            raise SystemExit(1)
     return mean_iou
 
 

@@ -137,6 +137,10 @@ class Servable:
         return self._fns[batch]
 
     def call(self, images):
+        # Exported programs are specced on float32 inputs; cast (without
+        # normalizing) so uint8/bf16 frames that work against the live jit
+        # don't raise an opaque jax.export dtype mismatch (ADVICE r02).
+        images = jnp.asarray(images, jnp.float32)
         b = images.shape[0]
         if b not in self._blobs:
             raise ValueError(f"no bucket for batch {b}; have "
@@ -144,6 +148,7 @@ class Servable:
         return self._fn(b)(images)
 
     def predict(self, images):
+        images = jnp.asarray(images, jnp.float32)
         b = images.shape[0]
         fits = [n for n in self.batch_sizes if n >= b]
         if not fits:
@@ -170,11 +175,21 @@ def load_servable(path: str) -> Servable:
         header = json.loads(f.read(hdr_len).decode())
         body = f.read()
     blobs = {}
+    running = 0
     for e in header["entries"]:
+        if e["offset"] != running or e["size"] < 0:
+            raise ValueError(
+                f"{path}: corrupt header — entry batch {e['batch']} offset "
+                f"{e['offset']} != running total {running} (entries must be "
+                f"contiguous and non-overlapping)")
+        running += e["size"]
         blobs[int(e["batch"])] = body[e["offset"]:e["offset"] + e["size"]]
         if len(blobs[int(e["batch"])]) != e["size"]:
             raise ValueError(f"{path}: truncated bundle (entry batch "
                              f"{e['batch']})")
+    if running != len(body):
+        raise ValueError(f"{path}: corrupt bundle — header claims "
+                         f"{running} body bytes, file has {len(body)}")
     return Servable(header, blobs)
 
 

@@ -36,18 +36,22 @@ def _postprocess(pred, output: str):
 
 class StreamingSegmenter:
     def __init__(self, params, batch_stats, *, dtype=jnp.bfloat16,
-                 use_pallas=True, output: str = "color", q8_scales=None):
+                 use_pallas=True, output: str = "color", q8_scales=None,
+                 step_fn=None):
         """output: 'color' (palette RGB), 'labelId' (server remap) or
         'trainId' (raw argmax).  q8_scales: optional w8a8 int8 calibration
-        (quantize.py)."""
-        infer = build_fast_infer(params, batch_stats, dtype=dtype,
-                                 use_pallas=use_pallas, preds_only=True,
-                                 q8_scales=q8_scales)
-        @jax.jit
-        def step(images):
-            return _postprocess(infer(images), output)
+        (quantize.py).  step_fn: a prebuilt ``images -> uint8`` step
+        (``from_servable`` passes one); when given, the weight arguments
+        are ignored and no live forward is built."""
+        if step_fn is None:
+            infer = build_fast_infer(params, batch_stats, dtype=dtype,
+                                     use_pallas=use_pallas, preds_only=True,
+                                     q8_scales=q8_scales)
+            @jax.jit
+            def step_fn(images):
+                return _postprocess(infer(images), output)
 
-        self._step = step
+        self._step = step_fn
 
     @classmethod
     def from_servable(cls, servable, *, output: str = "color"):
@@ -70,9 +74,7 @@ class StreamingSegmenter:
             pred = out[1] if isinstance(out, tuple) else out
             return post(pred)
 
-        self = cls.__new__(cls)
-        self._step = step
-        return self
+        return cls(None, None, output=output, step_fn=step)
 
     def run(self, batches) -> Iterator[Tuple[np.ndarray, list]]:
         """batches: iterable of (images (B,H,W,3) device/host, rels, ...).
