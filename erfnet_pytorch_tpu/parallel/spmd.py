@@ -34,28 +34,37 @@ from typing import Callable, Optional, Sequence, Tuple
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
-_STATE = {"mesh": None, "axis": "data"}
+_STATE = {"mesh": None, "axis": "data", "force": False}
 
 
-def set_mesh(mesh: Optional[Mesh], axis: str = "data") -> None:
+def set_mesh(mesh: Optional[Mesh], axis: str = "data", *,
+             force: bool = False) -> None:
     """Register (or clear, with None) the mesh Pallas kernels shard over.
 
     Call once when setting up data-parallel training/eval; the per-call
     wrapping is a trace-time decision, so re-jitting after a change picks
     it up (the step makers build fresh jitted callables anyway).
+
+    force=True engages the shard_map wrappers even for a 1-way mesh
+    (normally an identity) — used by scripts/tpu_shardmap_smoke.py to
+    compile every batch-grid kernel THROUGH shard_map in Mosaic compiled
+    mode on the single real chip, validating the composition the 8-device
+    interpret-mode tests can't.
     """
     _STATE["mesh"] = mesh
     _STATE["axis"] = axis
+    _STATE["force"] = force
 
 
 @contextmanager
-def pallas_mesh(mesh: Optional[Mesh], axis: str = "data"):
-    old = (_STATE["mesh"], _STATE["axis"])
-    set_mesh(mesh, axis)
+def pallas_mesh(mesh: Optional[Mesh], axis: str = "data", *,
+                force: bool = False):
+    old = (_STATE["mesh"], _STATE["axis"], _STATE["force"])
+    set_mesh(mesh, axis, force=force)
     try:
         yield
     finally:
-        set_mesh(*old)
+        set_mesh(old[0], old[1], force=old[2])
 
 
 def active() -> Tuple[Optional[Mesh], Optional[str]]:
@@ -64,7 +73,7 @@ def active() -> Tuple[Optional[Mesh], Optional[str]]:
     if mesh is None:
         return None, None
     axis = _STATE["axis"]
-    if mesh.shape.get(axis, 1) <= 1:
+    if mesh.shape.get(axis, 1) <= 1 and not _STATE["force"]:
         return None, None
     return mesh, axis
 
