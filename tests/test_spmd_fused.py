@@ -285,3 +285,22 @@ def test_valid_mask_block_level_exact(fused):
             assert nr < 5e-5, \
                 f"fused={fused}: pad rows leak into grad {name}/{leaf}: " \
                 f"norm-rel {nr:.2e}"
+
+
+def test_forced_1way_mesh_engages_shardmap():
+    """spmd.set_mesh(force=True): a 1-way mesh engages the shard_map
+    wrappers (normally an identity) — the on-silicon smoke's mechanism
+    (scripts/tpu_shardmap_smoke.py).  Math must be unchanged."""
+    from jax.sharding import Mesh
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    assert spmd.active() == (None, None)
+    with spmd.pallas_mesh(mesh1):
+        assert spmd.active() == (None, None)  # 1-way: identity by default
+    with spmd.pallas_mesh(mesh1, force=True):
+        assert spmd.active()[0] is mesh1
+        assert spmd.data_shards() == 1
+        x = jnp.arange(8.0).reshape(2, 4)
+        wrapped = spmd.shard_batch_call(lambda a: a * 2.0, [True])
+        np.testing.assert_allclose(np.asarray(wrapped(x)), np.asarray(x) * 2)
+    assert spmd.active() == (None, None)  # context restored
