@@ -51,9 +51,18 @@ MANIFEST = os.path.join(os.path.dirname(os.path.dirname(
 # result helpers
 # --------------------------------------------------------------------------
 
+# Compiled-on-TPU tolerance scale: v5e f32 matmuls run on the MXU with
+# bf16-pass rounding (both in Mosaic kernels and in the XLA conv oracle),
+# so kernel-vs-oracle deltas sit at ~1e-3 abs where CPU interpret mode is
+# ~1e-5.  A semantic error (wrong tap/shift/fold) is O(0.1+); the manifest
+# records the true max_abs either way.
+_TOL_SCALE = 1.0
+
+
 def _check(name, got, ref, *, rtol, atol):
     got = np.asarray(got, np.float64)
     ref = np.asarray(ref, np.float64)
+    rtol, atol = rtol * _TOL_SCALE, atol * _TOL_SCALE
     max_abs = float(np.max(np.abs(got - ref))) if got.size else 0.0
     bound = atol + rtol * np.abs(ref)
     ok = bool(np.all(np.abs(got - ref) <= bound))
@@ -651,6 +660,7 @@ CPU_SKIP = {
 # --------------------------------------------------------------------------
 
 def run_one(name, cpu):
+    global _TOL_SCALE
     import jax
     if cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -658,6 +668,8 @@ def run_one(name, cpu):
         from erfnet_pytorch_tpu.utils.jax_cache import enable as en
         en()
     interpret = cpu or jax.default_backend() == "cpu"
+    if not interpret:
+        _TOL_SCALE = 20.0
     t0 = time.time()
     entry = CASES[name](interpret)
     entry["mode"] = "interpret" if interpret else "compiled"
