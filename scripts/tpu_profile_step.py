@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--flat", action="store_true",
                     help="flat-carry params/optimizer (FlatState)")
+    ap.add_argument("--multi", type=int, default=1,
+                    help="optimizer steps per dispatch (the shipped bench "
+                         "config is --flat --multi 2)")
     args = ap.parse_args()
 
     from erfnet_pytorch_tpu.models import erfnet
@@ -42,9 +45,12 @@ def main():
     print("devices:", jax.devices(), flush=True)
     tx = optim.make_adam()
     ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    K = args.multi
+    if K > 1:
+        args.flat = True  # multi_step requires the flat-carry step
     step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
                            augment=True, compute_dtype=jnp.bfloat16,
-                           flat=args.flat)
+                           flat=args.flat, multi_step=K)
     if args.flat:
         ts = step.flatten(ts)
     rng = np.random.RandomState(0)
@@ -52,20 +58,26 @@ def main():
                          .astype(np.float32))
     labels = jnp.asarray(rng.randint(0, 20, (args.batch, 512, 1024))
                          .astype(np.int32))
+    if K > 1:  # K per-step batch tuples, as in the bench/trainer
+        images = tuple(images for _ in range(K))
+        labels = tuple(labels for _ in range(K))
     key = jax.random.PRNGKey(0)
+
+    def last(loss):
+        return float(loss if K == 1 else loss[-1])
 
     t0 = time.perf_counter()
     ts, loss = step(ts, images, labels, key)
     print(f"compile+first: {time.perf_counter() - t0:.1f}s "
-          f"loss={float(loss):.4f}", flush=True)
+          f"loss={last(loss):.4f}", flush=True)
     for _ in range(3):
         ts, loss = step(ts, images, labels, key)
-    float(loss)
+    last(loss)
 
     jax.profiler.start_trace(args.logdir)
     for _ in range(args.steps):
         ts, loss = step(ts, images, labels, key)
-    float(loss)
+    last(loss)
     jax.profiler.stop_trace()
 
     parse_latest_trace(args.logdir, args.top)
