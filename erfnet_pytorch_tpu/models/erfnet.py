@@ -333,7 +333,7 @@ def _encoder_packed_ok(shape):
 
 
 def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype,
-                                valid=None):
+                                valid=None, aug_shift=None):
     """Encoder train path in W-packed layouts end to end: packed stem
     (Down 3->16) -> packed Down(16,64) -> packed C64 run -> Down(64,128)
     -> dilated C128 blocks (fused conv-pair kernels).  No s2d/pool/pack
@@ -347,10 +347,7 @@ def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype,
     new_layers: List[Any] = [None] * len(layers)
     xc = x.astype(compute_dtype) if compute_dtype is not None else x
 
-    def down(p, s, X, pi, po, cout):
-        # ONE kernel: conv + max-pool lanes + bias + per-row BN statistics
-        y, s1, s2 = downsampler_packed_stats(X, p["conv"]["w"],
-                                             p["conv"]["b"], pi=pi)
+    def bn_relu(p, s, y, s1, s2, po, cout):
         b_, h2, wb, cl = y.shape
         n_img = h2 * wb * (cl // cout)
         (a, bb), bns = _bn_packed_coeffs_from_sums(
@@ -360,10 +357,29 @@ def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype,
         return jax.nn.relu(y * a.astype(y.dtype) + bb.astype(y.dtype)), \
             {"bn": bns}
 
+    def down(p, s, X, pi, po, cout):
+        # ONE kernel: conv + max-pool lanes + bias + per-row BN statistics
+        y, s1, s2 = downsampler_packed_stats(X, p["conv"]["w"],
+                                             p["conv"]["b"], pi=pi)
+        return bn_relu(p, s, y, s1, s2, po, cout)
+
     # stem: image W-packed view (free row-major regroup)
-    X = xc.reshape(B, H, W // _STEM_PI, _STEM_PI * 3)
-    X, is_ = down(params["initial_block"], state["initial_block"], X,
-                  _STEM_PI, 8, 16)                   # (B, H/2, W/16, 128)
+    p0, s0 = params["initial_block"], state["initial_block"]
+    if aug_shift is not None:
+        # augment fold: the stem kernel applies the per-sample ±2px
+        # translate AND the compute-dtype cast in its lead stage on the
+        # raw flipped image (ops/pallas/downsampler.py staug) — the XLA
+        # translate selects + cast pass never run
+        from ..ops.pallas.downsampler import downsampler_packed_stats_aug
+        Xr = x.reshape(B, H, W // _STEM_PI, _STEM_PI * 3)
+        y, s1, s2 = downsampler_packed_stats_aug(
+            Xr, aug_shift, p0["conv"]["w"], p0["conv"]["b"], pi=_STEM_PI,
+            out_dtype=compute_dtype if compute_dtype is not None
+            else x.dtype)
+        X, is_ = bn_relu(p0, s0, y, s1, s2, 8, 16)  # (B, H/2, W/16, 128)
+    else:
+        X = xc.reshape(B, H, W // _STEM_PI, _STEM_PI * 3)
+        X, is_ = down(p0, s0, X, _STEM_PI, 8, 16)   # (B, H/2, W/16, 128)
     X, new_layers[0] = down(layers[0], lstate[0], X, 8, 2, 64)
     rngs = [jax.random.fold_in(rng, i) if rng is not None else None
             for i in range(1, 6)]
@@ -384,22 +400,28 @@ def _apply_encoder_packed_train(params, state, x, *, rng, compute_dtype,
 
 def apply_encoder(params, state, x, *, train=False, rng=None, predict=False,
                   compute_dtype=None, layer_fn=None, initial_fn=None,
-                  valid=None):
+                  valid=None, aug_shift=None):
     """layer_fn: optional override(kind, idx, params, state, x, spec) for
     fused-kernel substitution at inference; initial_fn likewise overrides
     the stem DownsamplerBlock.  valid: optional (B,) 0/1 mask excluding DP
-    batch-pad rows from every BN batch statistic."""
+    batch-pad rows from every BN batch statistic.  aug_shift: optional
+    (B, 2) f32 per-sample translate (ops/augment.co_transform_shifts) —
+    folded into the packed stem kernel when that path engages, applied as
+    the equivalent XLA shift otherwise."""
     from ..ops.pallas.nb1d_train import fused_train_enabled
     if (train and layer_fn is None and fused_train_enabled()
             and _encoder_packed_ok(x.shape)):
         y, new_state = _apply_encoder_packed_train(
             params, state, x, rng=rng, compute_dtype=compute_dtype,
-            valid=valid)
+            valid=valid, aug_shift=aug_shift)
         if predict:
             y = conv2d(y, params["output_conv"]["w"],
                        params["output_conv"]["b"],
                        compute_dtype=compute_dtype)
         return y, new_state
+    if aug_shift is not None:
+        from ..ops.augment import apply_shifts
+        x = apply_shifts(x, aug_shift)
     if initial_fn is not None:
         y, is_ = initial_fn(params["initial_block"], state["initial_block"],
                             x)
@@ -544,7 +566,8 @@ def init(key, num_classes=20, encoder=None):
 def apply(params, state, x, *, train=False, rng=None, only_encode=False,
           compute_dtype=None, encoder_layer_fn=None, decoder_layer_fn=None,
           decoder_output_conv_fn=None, skip_head=False,
-          encoder_initial_fn=None, keep_packed_feats=False, valid=None):
+          encoder_initial_fn=None, keep_packed_feats=False, valid=None,
+          aug_shift=None):
     """Forward pass. x: (B, H, W, 3) -> logits (B, H', W', num_classes).
 
     only_encode=True mirrors ``Net.forward(input, only_encode=True)``:
@@ -557,18 +580,24 @@ def apply(params, state, x, *, train=False, rng=None, only_encode=False,
     every BatchNorm batch statistic (and, via autodiff of the masked stat
     sums, from every gradient) — making padded multi-chip training
     numerically identical to the unpadded batch.
+    aug_shift: optional (B, 2) f32 per-sample ±2px translate (tx, ty)
+    from ops/augment.co_transform_shifts, folded into the stem kernel's
+    lead stage when the packed train path engages (bit-equal XLA shift
+    otherwise) — the train step passes images un-translated with it.
     """
     if only_encode:
         y, es = apply_encoder(params["encoder"], state["encoder"], x,
                               train=train, rng=rng, predict=not skip_head,
                               compute_dtype=compute_dtype,
                               layer_fn=encoder_layer_fn,
-                              initial_fn=encoder_initial_fn, valid=valid)
+                              initial_fn=encoder_initial_fn, valid=valid,
+                              aug_shift=aug_shift)
         return y, {"encoder": es, "decoder": state["decoder"]}
     y, es = apply_encoder(params["encoder"], state["encoder"], x, train=train,
                           rng=rng, predict=False, compute_dtype=compute_dtype,
                           layer_fn=encoder_layer_fn,
-                          initial_fn=encoder_initial_fn, valid=valid)
+                          initial_fn=encoder_initial_fn, valid=valid,
+                          aug_shift=aug_shift)
     y, ds = apply_decoder(params["decoder"], state["decoder"], y, train=train,
                           rng=rng, compute_dtype=compute_dtype,
                           layer_fn=decoder_layer_fn,

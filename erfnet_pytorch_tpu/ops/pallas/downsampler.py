@@ -478,6 +478,275 @@ def down_packed_supported(x_shape, pi: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Augment-folded stem variant: the train step's per-sample ±2px translate
+# (ops/augment.py, reference ``train/main.py:MyCoTransform`` jitter —
+# SURVEY.md §2a row 6) applies INSIDE the stem kernel's lead stage, on the
+# raw (flipped-only) f32 image the kernel was going to read anyway — the
+# full-map XLA translate selects plus the f32->bf16 cast pass were ~3 HBM
+# round trips over the batch.  The epilogue-carry pattern, applied to the
+# step's prologue.
+#
+# The backward also drops structurally dead work: the stem's input is the
+# image batch (data, never differentiated), so the dx half of the bwd
+# kernel (6 of 12 MXU dots) and the pool VJP vanish; dK/db accumulate
+# exactly as before on the kernel-emitted augmented map.
+# ---------------------------------------------------------------------------
+
+from ..augment import MAX_SHIFT as _MAX_SHIFT
+
+
+def _aug_translate(x, tx, ty, cin):
+    """In-kernel per-image translate of a W-packed map (H, Wb, pi*cin):
+    out[h, w] = x[h - ty, w - tx], zero fill — bit-identical to the image
+    half of ops/augment._translate_batch (shifts are pure value copies).
+
+    H shifts select over the 2*MAX_SHIFT+1 static leading-dim shifts with
+    arithmetic masks.  W shifts cross pi-block lane boundaries, so they
+    run as one-hot selector matmuls built from iota-vs-scalar comparisons
+    (Mosaic rule: lane shuffles must be 0/1 MXU matmuls; each column has
+    at most one 1, so even bf16 copies values exactly) plus a _bshift for
+    the cross-block lanes."""
+    H, Wb, C = x.shape
+    pi = C // cin
+    xty = None
+    for k in range(-_MAX_SHIFT, _MAX_SHIFT + 1):
+        m = (ty == k).astype(x.dtype)
+        term = m * _hshift(x, -k)
+        xty = term if xty is None else xty + term
+    # dst lane q = u'*cin + c reads src lane r = (u' - tx)*cin + c, from
+    # the previous/next block when u' - tx leaves [0, pi)
+    r = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    u = q // cin - tx
+    same = ((r == q - tx * cin) & (u >= 0) & (u < pi)).astype(x.dtype)
+    prev = ((r == q - tx * cin + C) & (u < 0)).astype(x.dtype)
+    nxt = ((r == q - tx * cin - C) & (u >= pi)).astype(x.dtype)
+    out = jnp.dot(xty.reshape(H * Wb, C), same,
+                  preferred_element_type=jnp.float32)
+    out = out + jnp.dot(_bshift(xty, -1).reshape(H * Wb, C), prev,
+                        preferred_element_type=jnp.float32)
+    out = out + jnp.dot(_bshift(xty, 1).reshape(H * Wb, C), nxt,
+                        preferred_element_type=jnp.float32)
+    return out.reshape(H, Wb, C).astype(x.dtype)
+
+
+def _down_fwd_kernel_staug(aug_ref, x_ref, K, bias, out_ref, s1_ref,
+                           s2_ref, xa_ref, *, H2, Wb, Cin, Cc):
+    # aug_ref holds the WHOLE (B, 2) shifts array in SMEM (Mosaic rejects
+    # blocked SMEM specs whose trailing dims aren't tile multiples; a
+    # full-shape block is exempt) — index this program's row directly
+    b = pl.program_id(0)
+    tx = aug_ref[b, 0].astype(jnp.int32)
+    ty = aug_ref[b, 1].astype(jnp.int32)
+    x = x_ref[0].astype(xa_ref.dtype)       # in-kernel compute-dtype cast
+    x = _aug_translate(x, tx, ty, Cin)
+    xa_ref[0] = x
+    pi = x.shape[-1] // Cin
+    s_out = pi // 2
+    ct = Cc + Cin
+    r0, r1 = _split_rows(x, H2, Wb, x.shape[-1])
+    A = (_hshift(r1, -1), r0, r1)
+    Kc = K[:].astype(x.dtype)
+    acc = None
+    for mh in range(3):
+        af = A[mh].reshape(H2 * Wb, x.shape[-1])
+        for qi, q in ((0, 0), (1, -1)):
+            m = jnp.dot(af, Kc[mh, qi],
+                        preferred_element_type=jnp.float32)
+            m = _bshift(m.reshape(H2, Wb, s_out * ct), q)
+            acc = m if acc is None else acc + m
+    conv = (acc + bias[:]).astype(out_ref.dtype)
+    y = conv + _down_pool_lanes(x, H2, Wb, pi, Cin, Cc).astype(out_ref.dtype)
+    out_ref[0] = y
+    yf = y.astype(jnp.float32).reshape(H2 * Wb, -1)
+    emit_stats(yf, s1_ref, s2_ref)
+
+
+def _call_fwd_staug(aug, x, K, bias, *, Cin, Cc, out_dtype, interpret):
+    def call(aug, x, K, bias):
+        B, H, Wb, C = x.shape
+        H2 = H // 2
+        co = K.shape[-1]
+        kernel = functools.partial(_down_fwd_kernel_staug, H2=H2, Wb=Wb,
+                                   Cin=Cin, Cc=Cc)
+        v = pltpu.VMEM
+        sspec = pl.BlockSpec((1, 1, co), lambda b: (b, 0, 0),
+                             memory_space=v)
+        y, s1, s2, xa = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((B, 2), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, H, Wb, C), lambda b: (b, 0, 0, 0),
+                             memory_space=v),
+                pl.BlockSpec(K.shape, lambda b: (0,) * 4, memory_space=v),
+                pl.BlockSpec((co,), lambda b: (0,), memory_space=v),
+            ],
+            out_specs=(pl.BlockSpec((1, H2, Wb, co),
+                                    lambda b: (b, 0, 0, 0),
+                                    memory_space=v),
+                       sspec, sspec,
+                       pl.BlockSpec((1, H, Wb, C), lambda b: (b, 0, 0, 0),
+                                    memory_space=v)),
+            out_shape=(jax.ShapeDtypeStruct((B, H2, Wb, co), out_dtype),
+                       jax.ShapeDtypeStruct((B, 1, co), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1, co), jnp.float32),
+                       jax.ShapeDtypeStruct((B, H, Wb, C), out_dtype)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * 2 * H2 * Wb * C * co + 6 * H * Wb * C * C,
+                bytes_accessed=(H * Wb * C * x.dtype.itemsize
+                                + (H * Wb * C + H2 * Wb * co)
+                                * jnp.dtype(out_dtype).itemsize),
+                transcendentals=0),
+            interpret=interpret,
+        )(aug, x, K, bias)
+        return y, s1[:, 0], s2[:, 0], xa
+
+    return spmd.shard_batch_call(
+        call, (True, True, False, False),
+        reduce_out=(False,) * 4)(aug, x, K, bias)
+
+
+def _down_bwd_kernel_nodx(x_ref, g_ref, dK_ref, db_ref, *, H2, Wb, Cin,
+                          Cc):
+    """dK/db-only backward on the kernel-emitted augmented map — the
+    stem's input cotangent is structurally unused (image data), so the
+    dx dots and the pool VJP of _down_bwd_kernel are dead work here."""
+    i = pl.program_id(0)
+    C = x_ref.shape[-1]
+    pi = C // Cin
+    s_out = pi // 2
+    ct = Cc + Cin
+    x = x_ref[0]
+    g = g_ref[0]
+    r0, r1 = _split_rows(x, H2, Wb, C)
+    A = (_hshift(r1, -1), r0, r1)
+    db = jnp.sum(g.reshape(H2 * Wb, s_out * ct), axis=0,
+                 dtype=jnp.float32).reshape(1, -1)
+    dKs = [[None, None] for _ in range(3)]
+    for qi, q in ((0, 0), (1, -1)):
+        gs = (g if q == 0 else _bshift(g, -q)).reshape(H2 * Wb,
+                                                       s_out * ct)
+        for mh in range(3):
+            af = A[mh].reshape(H2 * Wb, C)
+            dKs[mh][qi] = jax.lax.dot_general(
+                af, gs, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    dK = jnp.stack([d for row in dKs for d in row]).reshape(
+        3, 2, C, s_out * ct)
+
+    @pl.when(i == 0)
+    def _():
+        dK_ref[:] = dK
+        db_ref[:] = db
+
+    @pl.when(i > 0)
+    def _():
+        dK_ref[:] = dK_ref[:] + dK
+        db_ref[:] = db_ref[:] + db
+
+
+def _call_bwd_nodx(xa, g, kshape, *, Cin, Cc, interpret):
+    def call(xa, g):
+        B, H, Wb, C = xa.shape
+        H2 = H // 2
+        co = kshape[-1]
+        kernel = functools.partial(_down_bwd_kernel_nodx, H2=H2, Wb=Wb,
+                                   Cin=Cin, Cc=Cc)
+        v = pltpu.VMEM
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, Wb, C), lambda b: (b, 0, 0, 0),
+                             memory_space=v),
+                pl.BlockSpec((1, H2, Wb, co), lambda b: (b, 0, 0, 0),
+                             memory_space=v),
+            ],
+            out_specs=(
+                pl.BlockSpec(kshape, lambda b: (0,) * 4, memory_space=v),
+                pl.BlockSpec((1, co), lambda b: (0, 0), memory_space=v),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(kshape, jnp.float32),
+                jax.ShapeDtypeStruct((1, co), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=12 * 2 * H2 * Wb * C * co,
+                bytes_accessed=(H * Wb * C + H2 * Wb * co)
+                * xa.dtype.itemsize,
+                transcendentals=0),
+            interpret=interpret,
+        )(xa, g)
+
+    dK, db = spmd.shard_batch_call(call, (True, True),
+                                   reduce_out=(True, True))(xa, g)
+    return dK, db.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _down_op_staug(Cin: int, Cc: int, out_dtype, in_dtype,
+                   interpret: bool):
+    kw = dict(Cin=Cin, Cc=Cc, out_dtype=out_dtype, interpret=interpret)
+
+    @jax.custom_vjp
+    def op(aug, x, K, bias):
+        y, s1, s2, _ = _call_fwd_staug(aug, x, K, bias, **kw)
+        return y, s1, s2
+
+    def fwd(aug, x, K, bias):
+        y, s1, s2, xa = _call_fwd_staug(aug, x, K, bias, **kw)
+        return (y, s1, s2), (xa, y)
+
+    def bwd(res, g):
+        xa, y = res
+        C = xa.shape[-1]
+        kshape = (3, 2, C, (C // Cin // 2) * (Cc + Cin))
+        gy, gs1, gs2 = g
+        g_adj = (gy.astype(jnp.float32)
+                 + gs1.astype(jnp.float32)[:, None, None, :]
+                 + 2.0 * y.astype(jnp.float32)
+                 * gs2.astype(jnp.float32)[:, None, None, :]
+                 ).astype(xa.dtype)
+        dK, db = _call_bwd_nodx(xa, g_adj, kshape, Cin=Cin, Cc=Cc,
+                                interpret=interpret)
+        return (jnp.zeros(xa.shape[:1] + (2,), jnp.float32),
+                jnp.zeros(xa.shape, in_dtype), dK, db)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def downsampler_packed_stats_aug(x, shifts, w_hwio, b, *, pi: int,
+                                 out_dtype, interpret=None):
+    """Stem DownsamplerBlock with the train-time ±2px translate and the
+    compute-dtype cast folded into the kernel's lead stage.
+
+    x: the RAW (flip applied, translate NOT applied) W-packed image
+    (B, H, Wb, pi*Cin) in its input dtype; shifts: (B, 2) float32
+    (tx, ty) from ops/augment.co_transform_shifts.  Returns (y, s1, s2)
+    exactly as downsampler_packed_stats on the XLA-translated input —
+    bit-equal, since translate and casts are pure value copies.
+
+    The x cotangent is structurally unused (images are data): the
+    backward returns zeros for it and skips the dx dots + pool VJP — do
+    not differentiate this op w.r.t. the image."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cin, cc = w_hwio.shape[2], w_hwio.shape[3]
+    K, bias = build_down_packed(w_hwio.astype(jnp.float32),
+                                b.astype(jnp.float32), pi)
+    op = _down_op_staug(cin, cc, jnp.dtype(out_dtype), x.dtype,
+                        bool(interpret))
+    return op(shifts, x, K, bias)
+
+
+# ---------------------------------------------------------------------------
 # Eval variant, h-blocked for big maps (1024x2048 streaming — SURVEY.md §7
 # config 5): conv + in-kernel pool + folded eval-BatchNorm (running stats
 # are a fixed per-channel affine at inference) + ReLU in ONE kernel, grid

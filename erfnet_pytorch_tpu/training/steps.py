@@ -19,7 +19,7 @@ import optax
 
 from ..ops.argmax import fast_argmax
 from ..ops.loss import weighted_log_softmax_nll
-from ..ops.augment import co_transform
+from ..ops.augment import co_transform, co_transform_shifts
 
 
 class TrainState(NamedTuple):
@@ -152,12 +152,28 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
     # take a `valid` kwarg (erfnet.apply); pass it through only then
     model_takes_valid = "valid" in inspect.signature(
         model.apply).parameters
+    # models that can fold the per-sample image translate into their stem
+    # kernel take `aug_shift` (erfnet.apply); with it the step uses
+    # co_transform_shifts — flip + label aug in XLA, image translate and
+    # compute-dtype cast inside the first downsampler kernel (bit-equal)
+    model_takes_aug = augment and "aug_shift" in inspect.signature(
+        model.apply).parameters
 
-    def loss_fn(params, batch_stats, images, labels, rng, valid=None):
+    def transform(rng, images, labels):
+        if model_takes_aug:
+            return co_transform_shifts(rng, images, labels, enc=enc)
+        images, labels = co_transform(rng, images, labels, enc=enc,
+                                      augment=augment)
+        return images, labels, None
+
+    def loss_fn(params, batch_stats, images, labels, rng, valid=None,
+                aug_shift=None):
         from ..ops.pallas.head_loss import head_loss_supported
         from ..ops.pallas.nb1d_train import fused_train_enabled
         B = images.shape[0]
         vkw = {"valid": valid} if model_takes_valid else {}
+        if aug_shift is not None:
+            vkw["aug_shift"] = aug_shift
         fh, fw = images.shape[1] // (8 if enc else 1), \
             images.shape[2] // (8 if enc else 1)
         use_fused = (head_op is not None and fused_train_enabled()
@@ -185,11 +201,11 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
             # fold the step counter in ON DEVICE: callers pass one constant
             # base key (a host-side per-step fold_in costs a dispatch RTT)
             rng = jax.random.fold_in(rng, ts.step)
-            images, labels = co_transform(jax.random.fold_in(rng, 0), images,
-                                          labels, enc=enc, augment=augment)
+            images, labels, shifts = transform(jax.random.fold_in(rng, 0),
+                                               images, labels)
             (loss, (new_stats, logits)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(ts.params, ts.batch_stats, images,
-                                       labels, rng, valid)
+                                       labels, rng, valid, shifts)
             updates, opt_state = optimizer.update(grads, ts.opt_state,
                                                   ts.params)
             params = optax.apply_updates(ts.params, freeze_unused(updates))
@@ -239,12 +255,12 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
     def flat_body(fts: FlatState, images, labels, rng, valid=None):
         unravel = cell["unravel"]  # trace-time constant (set by flatten())
         rng = jax.random.fold_in(rng, fts.step)
-        images, labels = co_transform(jax.random.fold_in(rng, 0), images,
-                                      labels, enc=enc, augment=augment)
+        images, labels, shifts = transform(jax.random.fold_in(rng, 0),
+                                           images, labels)
         params = unravel(fts.flat_params)
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, fts.batch_stats, images, labels,
-                                   rng, valid)
+                                   rng, valid, shifts)
         flat_grads = ravel_pytree(grads)[0]  # one concat (same leaf order)
         updates, opt_state = optimizer.update(flat_grads, fts.opt_state,
                                               fts.flat_params)
