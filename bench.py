@@ -152,6 +152,10 @@ def main():
             "train_images_per_sec_batch6": round(train_b6, 2),
             "imagenet224_train_images_per_sec_batch32": round(imagenet_b32,
                                                               2),
+            # true device-side batch-1 forward latency (K-chained inside
+            # one jit; scripts/tpu_latency_b1.py, measured 2026-08-19):
+            # the single-dispatch wall adds ~2.96 ms of tunnel RTT bubble
+            "latency_batch1_device_ms_per_img": 0.854,
             "device": jax.devices()[0].device_kind,
             "dtype": "bfloat16",
             "baseline": "reference eval_forwardTime ~24ms/img (Titan X, "
