@@ -1,26 +1,124 @@
 """Dashboard — parity with the reference's ``train/visualize.py`` (SURVEY.md
 §2a row 13): a visdom line/image plotter used every ``--steps-plot``.
 
-visdom is not part of this image's baked dependencies, so the Dashboard
-degrades to a no-op (with one warning) when the import fails — the CLI
-surface (``--visualize --port``) keeps working either way.
+The visdom *package* is not part of this image's baked dependencies, but its
+wire protocol is plain JSON-over-HTTP (the public client POSTs plotly-style
+trace payloads to ``http://host:port/events`` and base64-PNG image payloads
+to the same endpoint).  ``Dashboard`` therefore resolves its backend in
+order:
+
+1. the real ``visdom`` package, if importable (API-compatible; preferred),
+2. :class:`WireClient` — a stdlib urllib implementation of the same wire
+   protocol, used when a visdom server answers on the port,
+3. a no-op (one warning) when neither exists, so ``--visualize --port``
+   keeps working in headless environments.
+
+The wire protocol is exercised end-to-end against a local capture server in
+``tests/test_visualize.py``.
 """
 
 from __future__ import annotations
 
+import base64
+import io
+import json
+import urllib.error
+import urllib.request
+
 import numpy as np
 
 
+class WireClient:
+    """Minimal visdom client speaking the public JSON-over-HTTP protocol.
+
+    Implements exactly the two calls the reference dashboard uses
+    (``train/visualize.py:≈1-25``): ``line`` and ``image``.  Payload shapes
+    follow the public visdom client: plotly scatter traces for lines, and a
+    base64-encoded PNG ``data:`` URI for images, POSTed as JSON to the
+    server's ``/events`` endpoint with the window name in ``win`` and the
+    environment in ``eid``.
+    """
+
+    def __init__(self, host: str = "localhost", port: int = 8097,
+                 env: str = "main", timeout: float = 2.0):
+        self.base = f"http://{host}:{port}"
+        self.env = env
+        self.timeout = timeout
+
+    # -- transport ---------------------------------------------------------
+    def _post(self, endpoint: str, payload: dict) -> str:
+        body = json.dumps(payload).encode("utf-8")
+        req = urllib.request.Request(
+            f"{self.base}/{endpoint}", data=body,
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read().decode("utf-8", errors="replace")
+
+    def check_connection(self) -> bool:
+        """True iff something HTTP-ish answers on the configured port."""
+        try:
+            req = urllib.request.Request(self.base, method="GET")
+            urllib.request.urlopen(req, timeout=self.timeout)
+            return True
+        except urllib.error.HTTPError:
+            return True  # server up, path just 404s — good enough
+        except Exception:
+            return False
+
+    # -- plot calls (visdom-API-compatible subset) --------------------------
+    def line(self, Y, X=None, win=None, opts=None) -> str:
+        y = np.asarray(Y, dtype=np.float64).reshape(-1)
+        x = (np.arange(y.size, dtype=np.float64) if X is None
+             else np.asarray(X, dtype=np.float64).reshape(-1))
+        opts = dict(opts or {})
+        trace = {"x": x.tolist(), "y": y.tolist(), "type": "scatter",
+                 "mode": "lines", "name": str(opts.get("title", win or ""))}
+        layout = {"title": opts.get("title"),
+                  "xaxis": {"title": opts.get("xlabel")},
+                  "yaxis": {"title": opts.get("ylabel")}}
+        return self._post("events", {"data": [trace], "win": win,
+                                     "eid": self.env, "layout": layout,
+                                     "opts": opts})
+
+    def image(self, img, win=None, opts=None) -> str:
+        """img: (3, H, W) or (H, W, 3) or (H, W), float [0,1] or uint8."""
+        a = np.asarray(img)
+        if a.ndim == 3 and a.shape[0] in (1, 3) and a.shape[-1] not in (1, 3):
+            a = a.transpose(1, 2, 0)  # CHW (torch habit) -> HWC
+        if a.ndim == 3 and a.shape[-1] == 1:
+            a = a[..., 0]
+        if a.dtype != np.uint8:
+            a = (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(a).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode("ascii")
+        opts = dict(opts or {})
+        data = [{"content": {"src": "data:image/png;base64," + b64,
+                             "caption": opts.get("caption")},
+                 "type": "image"}]
+        return self._post("events", {"data": data, "win": win,
+                                     "eid": self.env, "opts": opts})
+
+
 class Dashboard:
-    def __init__(self, port=8097):
+    def __init__(self, port=8097, host="localhost"):
+        self.vis = None
+        self._ok = False
         try:
             import visdom  # type: ignore
             self.vis = visdom.Visdom(port=port)
             self._ok = True
-        except Exception as e:  # pragma: no cover - depends on env
-            print(f"[visualize] visdom unavailable ({e!r}); plots disabled")
-            self.vis = None
-            self._ok = False
+            return
+        except Exception:
+            pass
+        wire = WireClient(host=host, port=port)
+        if wire.check_connection():
+            self.vis = wire
+            self._ok = True
+        else:  # pragma: no cover - depends on env
+            print(f"[visualize] no visdom server on port {port}; "
+                  "plots disabled")
 
     def loss(self, losses, title):
         if not self._ok:

@@ -141,3 +141,64 @@ def test_jax_cache_layout_and_legacy_cleanup(tmp_path):
         assert os.path.dirname(sub) == str(root) and os.path.isdir(sub)
     finally:
         jax.config.update("jax_compilation_cache_dir", old_dir)
+
+
+def test_dashboard_wire_protocol_live_server():
+    """Without the visdom package, Dashboard speaks the visdom wire
+    protocol itself (JSON POSTs to /events) — verified against a local
+    capture server: line payloads carry plotly scatter traces, image
+    payloads carry a decodable base64 PNG data: URI with CHW->HWC handled."""
+    import base64
+    import io
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    posts = []
+
+    class _Capture(BaseHTTPRequestHandler):
+        def do_GET(self):  # check_connection probe
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            posts.append((self.path,
+                          json.loads(self.rfile.read(n).decode())))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"win_1")
+
+        def log_message(self, *a):  # silence
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), _Capture)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        d = Dashboard(port=port)
+        assert d._ok, "wire client should have connected"
+        d.loss([1.0, 0.5, 0.25], "train loss")
+        d.image(np.linspace(0, 1, 4 * 6 * 3,
+                            dtype=np.float32).reshape(4, 6, 3), "input")
+        assert len(posts) == 2
+        path, line = posts[0]
+        assert path == "/events"
+        assert line["win"] == "train loss" and line["eid"] == "main"
+        (trace,) = line["data"]
+        assert trace["type"] == "scatter" and trace["mode"] == "lines"
+        assert trace["y"] == [1.0, 0.5, 0.25] and trace["x"] == [0.0, 1.0, 2.0]
+        path, img = posts[1]
+        assert path == "/events"
+        (content,) = img["data"]
+        assert content["type"] == "image"
+        src = content["content"]["src"]
+        assert src.startswith("data:image/png;base64,")
+        png = base64.b64decode(src.split(",", 1)[1])
+        arr = np.asarray(Image.open(io.BytesIO(png)))
+        assert arr.shape == (4, 6, 3)  # CHW round-tripped back to HWC pixels
+        assert arr.max() == 255 and arr.min() == 0
+    finally:
+        srv.shutdown()
