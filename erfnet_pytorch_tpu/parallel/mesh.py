@@ -11,6 +11,15 @@ NCCL-style explicit scatter/gather.
 
 A second (currently size-1) ``model`` axis is plumbed through the mesh shape
 so multi-host / spatially-sharded growth does not change call signatures.
+
+Multi-host growth is exercised, not just plumbed: ``make_mesh_2d`` builds a
+``("dcn", "data", "model")`` mesh whose outer axis stands for the
+cross-host (DCN) dimension.  Batches shard over BOTH batch axes
+(``P(("dcn", "data"))``) — gradient/BN-stat reductions become a two-level
+collective XLA lays out as intra-host ICI + cross-host DCN, the standard
+TPU-pod pattern.  ``batch_axes`` derives the right spec from any mesh so
+the trainer/spmd plumbing is mesh-shape agnostic (equivalence to the
+single-device math is tested in tests/test_spmd_fused.py).
 """
 
 from __future__ import annotations
@@ -27,6 +36,27 @@ def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
     n = n_data if n_data is not None else len(devices)
     dev_array = np.asarray(devices[:n]).reshape(n, 1)
     return Mesh(dev_array, ("data", "model"))
+
+
+def make_mesh_2d(n_dcn: int, n_data: int, devices=None) -> Mesh:
+    """A (dcn, data, model) mesh: ``n_dcn`` host groups × ``n_data``
+    chips each.  The reference never needs multi-host (SURVEY.md §5
+    "DCN axis unused at reference scale"), but the framework's DP
+    contract must survive pod growth — batches shard over both axes and
+    the grad/BN psums become ICI+DCN two-level collectives."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_dcn * n_data
+    assert len(devices) >= n, (n, len(devices))
+    dev_array = np.asarray(devices[:n]).reshape(n_dcn, n_data, 1)
+    return Mesh(dev_array, ("dcn", "data", "model"))
+
+
+def batch_axes(mesh: Mesh):
+    """The mesh axes the batch dimension shards over: ``("dcn", "data")``
+    on a multi-host mesh, plain ``"data"`` otherwise."""
+    if "dcn" in mesh.shape and mesh.shape["dcn"] > 1:
+        return ("dcn", "data")
+    return "data"
 
 
 def make_mesh_for_batch(batch_size: int, devices=None,
@@ -54,12 +84,12 @@ def make_mesh_for_batch(batch_size: int, devices=None,
 
 def pad_to_for_mesh(mesh: Mesh) -> Optional[int]:
     """DataLoader ``pad_to`` value for a mesh (None when 1-way)."""
-    n = mesh.shape.get("data", 1)
+    n = mesh.shape.get("data", 1) * mesh.shape.get("dcn", 1)
     return n if n > 1 else None
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data"))
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -37,7 +37,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 _STATE = {"mesh": None, "axis": "data", "force": False}
 
 
-def set_mesh(mesh: Optional[Mesh], axis: str = "data", *,
+def _axes_tuple(axis) -> Tuple[str, ...]:
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def set_mesh(mesh: Optional[Mesh], axis=None, *,
              force: bool = False) -> None:
     """Register (or clear, with None) the mesh Pallas kernels shard over.
 
@@ -45,19 +49,29 @@ def set_mesh(mesh: Optional[Mesh], axis: str = "data", *,
     wrapping is a trace-time decision, so re-jitting after a change picks
     it up (the step makers build fresh jitted callables anyway).
 
+    ``axis`` is the mesh axis name (or TUPLE of names — a multi-host
+    ``("dcn", "data")`` mesh shards the batch over both) that batches
+    shard over; None derives it from the mesh via ``mesh_lib.batch_axes``.
+
     force=True engages the shard_map wrappers even for a 1-way mesh
     (normally an identity) — used by scripts/tpu_shardmap_smoke.py to
     compile every batch-grid kernel THROUGH shard_map in Mosaic compiled
     mode on the single real chip, validating the composition the 8-device
     interpret-mode tests can't.
     """
+    if axis is None:
+        if mesh is None:
+            axis = "data"
+        else:
+            from . import mesh as mesh_lib
+            axis = mesh_lib.batch_axes(mesh)
     _STATE["mesh"] = mesh
     _STATE["axis"] = axis
     _STATE["force"] = force
 
 
 @contextmanager
-def pallas_mesh(mesh: Optional[Mesh], axis: str = "data", *,
+def pallas_mesh(mesh: Optional[Mesh], axis=None, *,
                 force: bool = False):
     old = (_STATE["mesh"], _STATE["axis"], _STATE["force"])
     set_mesh(mesh, axis, force=force)
@@ -68,12 +82,17 @@ def pallas_mesh(mesh: Optional[Mesh], axis: str = "data", *,
 
 
 def active() -> Tuple[Optional[Mesh], Optional[str]]:
-    """(mesh, axis) when a >1-way data mesh is registered, else (None, None)."""
+    """(mesh, axis) when a >1-way data mesh is registered, else (None, None).
+
+    ``axis`` is a mesh axis name or a tuple of names (multi-host mesh)."""
     mesh = _STATE["mesh"]
     if mesh is None:
         return None, None
     axis = _STATE["axis"]
-    if mesh.shape.get(axis, 1) <= 1 and not _STATE["force"]:
+    n = 1
+    for a in _axes_tuple(axis):
+        n *= mesh.shape.get(a, 1)
+    if n <= 1 and not _STATE["force"]:
         return None, None
     return mesh, axis
 
@@ -84,7 +103,12 @@ def data_shards() -> int:
     Kernel ``*_supported`` eligibility checks divide their batch/row counts
     by this so they validate the PER-SHARD shapes the kernels will see."""
     mesh, axis = active()
-    return 1 if mesh is None else mesh.shape[axis]
+    if mesh is None:
+        return 1
+    n = 1
+    for a in _axes_tuple(axis):
+        n *= mesh.shape[a]
+    return n
 
 
 def mesh_keyed_jit(*, static_argnames: Sequence[str] = ()) -> Callable:

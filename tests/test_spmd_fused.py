@@ -304,3 +304,39 @@ def test_forced_1way_mesh_engages_shardmap():
         wrapped = spmd.shard_batch_call(lambda a: a * 2.0, [True])
         np.testing.assert_allclose(np.asarray(wrapped(x)), np.asarray(x) * 2)
     assert spmd.active() == (None, None)  # context restored
+
+
+def test_sharded_2d_dcn_mesh_matches_single():
+    """Multi-host growth: a (dcn=2, data=4) mesh — the TPU-pod pattern
+    where the outer axis crosses hosts over DCN — must reproduce the
+    single-device fused math exactly like the 1-D 8-way mesh does.
+    Batches shard over BOTH axes (P(("dcn","data"))); grad/BN psums
+    become two-level collectives."""
+    from erfnet_pytorch_tpu.parallel.mesh import (make_mesh_2d, batch_axes,
+                                                  pad_to_for_mesh)
+
+    images, labels = _tiny_batch()
+    mesh2 = make_mesh_2d(2, 4)
+    assert batch_axes(mesh2) == ("dcn", "data")
+    assert pad_to_for_mesh(mesh2) == 8
+    with spmd.pallas_mesh(mesh2):
+        assert spmd.data_shards() == 8
+
+    ts_1, loss_1 = _run_full_step(images, labels, fused=True)
+    ts_2, loss_2 = _run_full_step(images, labels, fused=True, mesh=mesh2)
+    assert abs(loss_2 - loss_1) < 1e-4
+    for path in (("decoder", "output_conv", "w"),
+                 ("encoder", "initial_block", "conv", "w")):
+        a, b = ts_2.params, ts_1.params
+        for k in path:
+            a, b = a[k], b[k]
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.max() < 2.2e-3, f"2d-mesh param mismatch: {diff.max():.2e}"
+        assert diff.mean() < 1e-4, f"2d-mesh param drift: {diff.mean():.2e}"
+    # BN stats stay GLOBAL-batch statistics across both mesh axes
+    a = ts_2.batch_stats["encoder"]["layers"][0]
+    b = ts_1.batch_stats["encoder"]["layers"][0]
+    key = "bn" if "bn" in a else "bn1"
+    np.testing.assert_allclose(np.asarray(a[key]["mean"]),
+                               np.asarray(b[key]["mean"]),
+                               rtol=1e-4, atol=1e-6)
