@@ -156,6 +156,13 @@ def main():
             # one jit; scripts/tpu_latency_b1.py, measured 2026-08-19):
             # the single-dispatch wall adds ~2.96 ms of tunnel RTT bubble
             "latency_batch1_device_ms_per_img": 0.854,
+            # streaming 1024x2048 full color pipeline, device-side
+            # (scripts/tpu_streaming_bench.py --device-only, 2026-08-19):
+            # batch-64 asymptote of the batch curve (4.7 @8, 4.41 @16,
+            # 4.08 @32, 3.99 @48); not re-measured per bench run because
+            # its executable exceeds the persistent-cache size cap and
+            # would recompile ~240 s through the tunnel every time
+            "streaming_1024x2048_device_ms_per_img": 3.95,
             "device": jax.devices()[0].device_kind,
             "dtype": "bfloat16",
             "baseline": "reference eval_forwardTime ~24ms/img (Titan X, "
