@@ -1,2 +1,2 @@
-from .mesh import (make_mesh, batch_sharding, replicated_sharding,
-                   shard_batch, replicate)
+from .mesh import (make_mesh, make_mesh_2d, batch_axes, batch_sharding,
+                   replicated_sharding, shard_batch, replicate)
