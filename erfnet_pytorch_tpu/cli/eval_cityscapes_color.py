@@ -12,17 +12,13 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..inference import add_pallas_flag
-from PIL import Image
 
 from ..data.cityscapes import CityscapesDataset
 from ..data.loader import DataLoader
-from ..models import erfnet
-from ..ops.argmax import fast_argmax
 from ..training.checkpoint import load_any_weights
 
 NUM_CLASSES = 20
@@ -44,6 +40,14 @@ def build_parser():
                    help="eval width (default 2*height, the reference's "
                         "Resize((512, 1024)) contract)")
     p.add_argument("--outdir", default="save_color")
+    p.add_argument("--writer", default="auto",
+                   choices=("auto", "native", "pil"),
+                   help="PNG output backend: the native GIL-free libpng "
+                        "pool writes palette-indexed PNGs straight from "
+                        "the device trainId map (~10x faster than the PIL "
+                        "RGB fallback, identical pixels)")
+    p.add_argument("--png-level", type=int, default=1,
+                   help="zlib level for the native writer (0-9)")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
@@ -66,19 +70,22 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from ..utils.jax_cache import enable as _enable_cache
     _enable_cache()
-    from ..streaming import StreamingSegmenter
+    from ..streaming import PngBatchSink, StreamingSegmenter
     # explicit (h, w): the reference eval resize is Resize((512, 1024)) —
     # exact, not aspect-derived (eval/eval_iou.py:≈30)
     width = args.width if args.width is not None else 2 * args.height
     ds = CityscapesDataset(args.datadir, args.subset,
                            size=(args.height, width))
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers)
+    sink = PngBatchSink(args.outdir, "color", backend=args.writer,
+                        num_threads=args.num_workers, level=args.png_level)
     if args.erfx:
         if args.bf16:
             print("warning: --bf16 is ignored with --erfx "
                   "(the bundle's export-time dtype wins)")
         print(f"Loading serving bundle: {args.erfx}")
-        seg = StreamingSegmenter.from_servable(args.erfx, output="color")
+        seg = StreamingSegmenter.from_servable(args.erfx,
+                                               output=sink.device_output)
     else:
         weights_path = args.state or os.path.join(args.loadDir,
                                                   args.loadWeights)
@@ -94,12 +101,9 @@ def main(argv=None):
             params, batch_stats,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             use_pallas=resolve_use_pallas(args.pallas),
-            output="color", q8_scales=q8)
-    for rgb, rels in seg.run(dl):
-        for i, rel in enumerate(rels):
-            out_path = os.path.join(args.outdir, rel)
-            os.makedirs(os.path.dirname(out_path), exist_ok=True)
-            Image.fromarray(rgb[i]).save(out_path)
+            output=sink.device_output, q8_scales=q8)
+    for out, rels in seg.run(dl):
+        for out_path in sink.write(out, rels):
             print(out_path)
 
 

@@ -9,17 +9,13 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..inference import add_pallas_flag
-from PIL import Image
 
 from ..data.cityscapes import CityscapesDataset
 from ..data.loader import DataLoader
-from ..models import erfnet
-from ..ops.argmax import fast_argmax
 from ..training.checkpoint import load_any_weights
 
 
@@ -39,6 +35,13 @@ def build_parser():
                    help="eval width (default 2*height, the reference's "
                         "Resize((512, 1024)) contract)")
     p.add_argument("--outdir", default="save_results")
+    p.add_argument("--writer", default="auto",
+                   choices=("auto", "native", "pil"),
+                   help="PNG output backend: the native GIL-free libpng "
+                        "pool (~3x faster grayscale encodes than PIL, "
+                        "overlapped with the device)")
+    p.add_argument("--png-level", type=int, default=1,
+                   help="zlib level for the native writer (0-9)")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (forces the cpu platform)")
     p.add_argument("--bf16", action="store_true")
@@ -61,13 +64,15 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from ..utils.jax_cache import enable as _enable_cache
     _enable_cache()
-    from ..streaming import StreamingSegmenter
+    from ..streaming import PngBatchSink, StreamingSegmenter
     # explicit (h, w): the reference eval resize is Resize((512, 1024)) —
     # exact, not aspect-derived (eval/eval_iou.py:≈30)
     width = args.width if args.width is not None else 2 * args.height
     ds = CityscapesDataset(args.datadir, args.subset,
                            size=(args.height, width))
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers)
+    sink = PngBatchSink(args.outdir, "labelId", backend=args.writer,
+                        num_threads=args.num_workers, level=args.png_level)
     if args.erfx:
         if args.bf16:
             print("warning: --bf16 is ignored with --erfx "
@@ -91,11 +96,7 @@ def main(argv=None):
             use_pallas=resolve_use_pallas(args.pallas),
             output="labelId", q8_scales=q8)
     for ids, rels in seg.run(dl):
-        ids = ids.astype(np.uint8)
-        for i, rel in enumerate(rels):
-            out_path = os.path.join(args.outdir, rel)
-            os.makedirs(os.path.dirname(out_path), exist_ok=True)
-            Image.fromarray(ids[i], mode="L").save(out_path)
+        for out_path in sink.write(ids, rels):
             print(out_path)
 
 

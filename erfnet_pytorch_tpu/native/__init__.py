@@ -63,6 +63,17 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int]
+        lib.save_png_u8.restype = ctypes.c_int
+        lib.save_png_u8.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+        lib.writer_batch.restype = ctypes.c_int
+        lib.writer_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -72,10 +83,12 @@ def available() -> bool:
 
 
 class NativeBatchLoader:
-    """Thread-pooled native decode+resize into caller-visible numpy buffers.
+    """Thread-pooled native image IO against caller-visible numpy buffers.
 
-    GIL-free: the entire batch is filled by C++ threads during one ctypes
-    call.  Used by data.loader.DataLoader as the ``backend="native"`` path.
+    GIL-free: an entire batch is decoded (``load_batch``) or encoded
+    (``write_batch``) by C++ threads during one ctypes call.  Used by
+    data.loader.DataLoader as the ``backend="native"`` path and by the
+    eval CLIs' PNG output loops.
     """
 
     def __init__(self, num_threads: int = 4):
@@ -98,6 +111,44 @@ class NativeBatchLoader:
         except Exception:
             pass
 
+    MODE_GRAY, MODE_RGB, MODE_PAL = 0, 1, 2
+
+    def write_batch(self, paths, arr, *, mode, palette=None, level=1):
+        """Encode a (n, h, w[, 3]) uint8 batch to one PNG per path, in
+        parallel, GIL-free.  mode: MODE_GRAY / MODE_RGB / MODE_PAL;
+        palette: (pal_n, 3) uint8 for MODE_PAL.  level: zlib 0-9 (default
+        1: segmentation maps are piecewise-constant, so fast deflate
+        already compresses them well — see tests/test_native_writer.py's
+        measured sizes).
+
+        The eval CLIs' replacement for the reference's per-image
+        ``ToPILImage -> .save`` loop (SURVEY.md §3.3): the whole batch is
+        encoded by C++ threads during one ctypes call, overlapping the
+        next device batch.
+        """
+        np = self._np
+        arr = np.ascontiguousarray(arr, np.uint8)
+        n = len(paths)
+        want = (arr.shape[0],) + arr.shape[1:3] + ((3,) if mode == 1 else ())
+        if n != arr.shape[0] or arr.shape != want:
+            raise ValueError(f"shape {arr.shape} != {want} for mode {mode}")
+        h, w = arr.shape[1:3]
+        c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        pal_ptr, pal_n = None, 0
+        if mode == self.MODE_PAL:
+            if palette is None:
+                raise ValueError("MODE_PAL requires a palette")
+            palette = np.ascontiguousarray(palette, np.uint8)
+            pal_ptr = palette.ctypes.data_as(u8p)
+            pal_n = palette.shape[0]
+        rc = self._lib.writer_batch(
+            self._pool, c_paths, arr.ctypes.data_as(u8p), n, h, w,
+            mode, pal_ptr, pal_n, level)
+        if rc != 0:
+            raise IOError(f"native writer failed on batch "
+                          f"(first path: {paths[0]!r})")
+
     def load_batch(self, img_paths, lab_paths, h, w, *, fill=255):
         np = self._np
         n = len(img_paths)
@@ -115,3 +166,7 @@ class NativeBatchLoader:
             raise IOError(f"native loader failed on batch "
                           f"(first path: {img_paths[0]!r})")
         return imgs, labs
+
+
+# The writer is the same C++ pool; the alias keeps call sites readable.
+NativeBatchWriter = NativeBatchLoader

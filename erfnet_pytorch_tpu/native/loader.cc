@@ -154,6 +154,57 @@ bool decode_image(const char* path, int channels, std::vector<uint8_t>* out,
 }
 
 // ---------------------------------------------------------------------------
+// Encoding
+// ---------------------------------------------------------------------------
+
+// Write an 8-bit PNG.  color_type: PNG_COLOR_TYPE_{GRAY,RGB,PALETTE}.
+// palette (pal_n RGB triplets) only for PALETTE.  level: zlib 0-9.
+// Low levels pin the filter to SUB (libpng's per-row all-filters search
+// costs more than the deflate it saves on flat segmentation maps).
+bool encode_png(const char* path, const uint8_t* data, int h, int w,
+                int color_type, const uint8_t* palette, int pal_n,
+                int level) {
+  FILE* fp = std::fopen(path, "wb");
+  if (!fp) return false;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                            nullptr, nullptr);
+  if (!png) { std::fclose(fp); return false; }
+  png_infop info = png_create_info_struct(png);
+  if (!info) { png_destroy_write_struct(&png, nullptr);
+               std::fclose(fp); return false; }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    std::fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_set_compression_level(png, level);
+  png_set_filter(png, PNG_FILTER_TYPE_BASE,
+                 level >= 6 ? PNG_ALL_FILTERS : PNG_FILTER_SUB);
+  png_set_IHDR(png, info, w, h, 8, color_type, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  std::vector<png_color> pal;
+  if (color_type == PNG_COLOR_TYPE_PALETTE) {
+    pal.resize(pal_n);
+    for (int i = 0; i < pal_n; ++i) {
+      pal[i].red = palette[3 * i + 0];
+      pal[i].green = palette[3 * i + 1];
+      pal[i].blue = palette[3 * i + 2];
+    }
+    png_set_PLTE(png, info, pal.data(), pal_n);
+  }
+  png_write_info(png, info);
+  int bpp = color_type == PNG_COLOR_TYPE_RGB ? 3 : 1;
+  for (int y = 0; y < h; ++y)
+    png_write_row(png, const_cast<png_bytep>(
+        data + static_cast<size_t>(y) * w * bpp));
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  std::fclose(fp);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
 // PIL-compatible resize
 // ---------------------------------------------------------------------------
 
@@ -365,6 +416,39 @@ int loader_batch(void* pool_ptr, const char** img_paths,
       } else {
         std::fill(lab_dst, lab_dst + static_cast<size_t>(h) * w, fill);
       }
+      latch.Done();
+    });
+  }
+  latch.Wait();
+  return rc.load();
+}
+
+// Write one 8-bit PNG.  mode: 0 gray (h, w), 1 RGB (h, w, 3),
+// 2 palette-indexed (h, w) with `palette` = pal_n RGB triplets.
+int save_png_u8(const char* path, const uint8_t* data, int h, int w,
+                int mode, const uint8_t* palette, int pal_n, int level) {
+  int ct = mode == 1 ? PNG_COLOR_TYPE_RGB
+         : mode == 2 ? PNG_COLOR_TYPE_PALETTE
+                     : PNG_COLOR_TYPE_GRAY;
+  return encode_png(path, data, h, w, ct, palette, pal_n, level) ? 0 : -1;
+}
+
+// Parallel batch write: data is (n, h, w[, 3]) uint8, one PNG per path.
+// The GIL is released for the whole batch (one ctypes call); the eval
+// CLIs' output loop is otherwise serial PIL encodes (SURVEY.md §3.3's
+// device->host .cpu() + PIL save boundary).
+int writer_batch(void* pool_ptr, const char** paths, const uint8_t* data,
+                 int n, int h, int w, int mode, const uint8_t* palette,
+                 int pal_n, int level) {
+  Pool* pool = static_cast<Pool*>(pool_ptr);
+  Latch latch(n);
+  std::atomic<int> rc{0};
+  size_t stride = static_cast<size_t>(h) * w * (mode == 1 ? 3 : 1);
+  for (int i = 0; i < n; ++i) {
+    pool->Submit([&, i] {
+      if (save_png_u8(paths[i], data + stride * i, h, w, mode, palette,
+                      pal_n, level) != 0)
+        rc = -1;
       latch.Done();
     });
   }

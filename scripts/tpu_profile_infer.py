@@ -48,23 +48,26 @@ def main():
     x = jax.random.uniform(jax.random.PRNGKey(1),
                            (args.batch, args.height, args.width, 3))
 
-    # the bench.py carry-chained step (what the headline number measures)
+    # the bench.py carry-chained step (what the headline number measures).
+    # x is a jit ARGUMENT, not a closure: a closed-over device array is
+    # serialized INTO the HLO compile request and the relay 413s/wedges
+    # past ~100 MB (B=32 is already 200 MB of f32 input).
     @jax.jit
-    def step(carry):
+    def step(carry, x):
         out = infer(x + carry * 0.0)
         pred = out if not args.with_logits else out[1]
         return (pred.sum() % 1024).astype(jnp.float32)
 
     t0 = time.perf_counter()
-    carry = step(jnp.float32(0))
+    carry = step(jnp.float32(0), x)
     print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
     for _ in range(3):
-        carry = step(carry)
+        carry = step(carry, x)
     float(carry)
 
     jax.profiler.start_trace(args.logdir)
     for _ in range(args.steps):
-        carry = step(carry)
+        carry = step(carry, x)
     float(carry)
     jax.profiler.stop_trace()
 

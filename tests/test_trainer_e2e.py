@@ -84,7 +84,8 @@ def test_color_and_server_cli(fake_cityscapes, tmp_path, monkeypatch):
     for dirpath, _d, files in os.walk(tmp_path / "save_color"):
         outs += [os.path.join(dirpath, f) for f in files]
     assert len(outs) == 6
-    img = np.asarray(Image.open(outs[0]))
+    # native writer emits palette-indexed PNGs; decoded RGB is the contract
+    img = np.asarray(Image.open(outs[0]).convert("RGB"))
     assert img.shape == (64, 128, 3)
 
     from erfnet_pytorch_tpu.cli import eval_cityscapes_server as ecs
