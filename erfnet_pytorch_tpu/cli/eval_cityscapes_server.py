@@ -68,8 +68,11 @@ def main(argv=None):
     # explicit (h, w): the reference eval resize is Resize((512, 1024)) —
     # exact, not aspect-derived (eval/eval_iou.py:≈30)
     width = args.width if args.width is not None else 2 * args.height
+    # raw uint8 frames: 4x less host->device traffic; the segmenter
+    # normalizes on-device (the values are the same PIL-rounded resize
+    # the reference's ToTensor divides)
     ds = CityscapesDataset(args.datadir, args.subset,
-                           size=(args.height, width))
+                           size=(args.height, width), image_dtype="uint8")
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers)
     sink = PngBatchSink(args.outdir, "labelId", backend=args.writer,
                         num_threads=args.num_workers, level=args.png_level)

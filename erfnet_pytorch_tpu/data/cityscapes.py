@@ -48,12 +48,22 @@ class CityscapesDataset:
     def __init__(self, root: str, subset: str = "train",
                  height: Optional[int] = 512,
                  target_height: Optional[int] = None,
-                 size: Optional[Tuple[int, int]] = None):
+                 size: Optional[Tuple[int, int]] = None,
+                 image_dtype: str = "float32"):
         """``size=(h, w)``: resize to EXACTLY (h, w) — the reference eval
         pipeline's unconditional ``Resize((512, 1024))``
         (eval/eval_iou.py:≈30).  ``height`` alone keeps the input aspect
         ratio (identical on 2:1 Cityscapes frames, different on anything
-        else)."""
+        else).
+
+        ``image_dtype='uint8'``: yield the raw PIL-rounded resize output
+        instead of the /255 float (same values scaled — the reference's
+        ToTensor divides the same uint8 image); 4x less host->device
+        traffic, normalized on-device by the consumer (StreamingSegmenter
+        does this under jit)."""
+        if image_dtype not in ("float32", "uint8"):
+            raise ValueError(f"unsupported image_dtype: {image_dtype!r}")
+        self.image_dtype = image_dtype
         self.root = root
         self.subset = subset
         self.height = size[0] if size is not None else height
@@ -110,7 +120,10 @@ class CityscapesDataset:
             elif self.height is not None:
                 w = image.width * self.height // image.height
                 image = image.resize((w, self.height), Image.BILINEAR)
-            image_np = np.asarray(image, dtype=np.float32) / 255.0
+            if self.image_dtype == "uint8":
+                image_np = np.asarray(image, dtype=np.uint8)
+            else:
+                image_np = np.asarray(image, dtype=np.float32) / 255.0
 
         lp = self.label_path(rel)
         if os.path.exists(lp):

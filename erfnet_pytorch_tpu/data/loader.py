@@ -133,7 +133,9 @@ class DataLoader:
                 pairs = [self.dataset.sample_paths(i) for i in idx]
                 rels = [self.dataset.filenames[int(i)] for i in idx]
                 images, labels = self._native.load_batch(
-                    [p[0] for p in pairs], [p[1] or "" for p in pairs], h, w)
+                    [p[0] for p in pairs], [p[1] or "" for p in pairs], h, w,
+                    image_dtype=getattr(self.dataset, "image_dtype",
+                                        "float32"))
             else:
                 samples = list(pool.map(self.dataset.__getitem__, idx))
                 images = np.stack([s[0] for s in samples])

@@ -43,6 +43,18 @@ def relabel(label, olabel, nlabel):
     return jnp.where(label == olabel, jnp.asarray(nlabel, label.dtype), label)
 
 
+def to_tensor(images):
+    """ToTensor's value contract for frames already in HWC layout: uint8
+    -> [0,1] float32 (exactly numpy's u8/255.0); float inputs pass
+    through.  Under jit the cast+scale fuses into the consumer's first
+    conv, which is what makes shipping raw uint8 host->device (4x less
+    traffic; data/loader.py image_dtype='uint8') free on the device side."""
+    images = jnp.asarray(images)
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 def to_label(img_u8):
     """ToLabel: uint8 label image -> int32 class map (drops channel dim)."""
     a = jnp.asarray(img_u8)

@@ -63,6 +63,17 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int]
+        lib.load_image_u8.restype = ctypes.c_int
+        lib.load_image_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.loader_batch_u8.restype = ctypes.c_int
+        lib.loader_batch_u8.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int]
         lib.save_png_u8.restype = ctypes.c_int
         lib.save_png_u8.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
@@ -149,19 +160,26 @@ class NativeBatchLoader:
             raise IOError(f"native writer failed on batch "
                           f"(first path: {paths[0]!r})")
 
-    def load_batch(self, img_paths, lab_paths, h, w, *, fill=255):
+    def load_batch(self, img_paths, lab_paths, h, w, *, fill=255,
+                   image_dtype="float32"):
+        """image_dtype 'float32': (n,h,w,3) [0,1] ToTensor form.
+        'uint8': the same PIL-rounded resize output raw — 4x less
+        host->device traffic; normalize on-device (/255 fuses into the
+        first conv under jit)."""
         np = self._np
         n = len(img_paths)
-        imgs = np.empty((n, h, w, 3), np.float32)
+        u8 = image_dtype == "uint8"
+        imgs = np.empty((n, h, w, 3), np.uint8 if u8 else np.float32)
         labs = np.empty((n, h, w), np.int32)
         c_imgs = (ctypes.c_char_p * n)(
             *[p.encode() for p in img_paths])
         c_labs = (ctypes.c_char_p * n)(
             *[(p.encode() if p else b"") for p in lab_paths])
-        rc = self._lib.loader_batch(
-            self._pool, c_imgs, c_labs, n, h, w,
-            imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            labs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), fill)
+        fn = self._lib.loader_batch_u8 if u8 else self._lib.loader_batch
+        ptr_t = ctypes.c_uint8 if u8 else ctypes.c_float
+        rc = fn(self._pool, c_imgs, c_labs, n, h, w,
+                imgs.ctypes.data_as(ctypes.POINTER(ptr_t)),
+                labs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), fill)
         if rc != 0:
             raise IOError(f"native loader failed on batch "
                           f"(first path: {img_paths[0]!r})")

@@ -250,16 +250,28 @@ Taps make_taps(int in_size, int out_size) {
   return t;
 }
 
-// Bilinear RGB888 -> float32 [0,1] HWC, two-pass.
-void resize_bilinear_to_float(const uint8_t* src, int in_h, int in_w,
-                              int out_h, int out_w, float* dst) {
+inline uint8_t clip8(float v) {
+  // PIL's clip8: fixed-point accumulate + round-half-up; the float
+  // equivalent is add-0.5-truncate with saturation.
+  int i = static_cast<int>(v + 0.5f);
+  return static_cast<uint8_t>(i < 0 ? 0 : i > 255 ? 255 : i);
+}
+
+// Bilinear RGB888 -> uint8 HWC, two-pass, rounding to uint8 BETWEEN the
+// passes exactly like PIL's 8-bit resample (ImagingResampleHorizontal_8bpc
+// writes clip8 rows that the vertical pass re-reads) — this is what keeps
+// the native backend within 1 LSB of the reference's torchvision
+// Resize(BILINEAR) and therefore inside the mIoU-parity budget
+// (SURVEY.md §7 hard parts).
+void resize_bilinear_u8(const uint8_t* src, int in_h, int in_w,
+                        int out_h, int out_w, uint8_t* dst) {
   Taps tx = make_taps(in_w, out_w);
   Taps ty = make_taps(in_h, out_h);
-  // horizontal pass: (in_h, out_w, 3) float
-  std::vector<float> tmp(static_cast<size_t>(in_h) * out_w * 3);
+  // horizontal pass: (in_h, out_w, 3) uint8 (PIL-rounded)
+  std::vector<uint8_t> tmp(static_cast<size_t>(in_h) * out_w * 3);
   for (int y = 0; y < in_h; ++y) {
     const uint8_t* row = src + static_cast<size_t>(y) * in_w * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
+    uint8_t* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
     for (int xx = 0; xx < out_w; ++xx) {
       const float* wts = &tx.weight[static_cast<size_t>(xx) * tx.max_count];
       int x0 = tx.first[xx], cnt = tx.count[xx];
@@ -270,25 +282,36 @@ void resize_bilinear_to_float(const uint8_t* src, int in_h, int in_w,
         g += wts[i] * p[1];
         b += wts[i] * p[2];
       }
-      trow[xx * 3 + 0] = r;
-      trow[xx * 3 + 1] = g;
-      trow[xx * 3 + 2] = b;
+      trow[xx * 3 + 0] = clip8(r);
+      trow[xx * 3 + 1] = clip8(g);
+      trow[xx * 3 + 2] = clip8(b);
     }
   }
   // vertical pass -> dst
-  const float inv = 1.f / 255.f;
   for (int yy = 0; yy < out_h; ++yy) {
     const float* wts = &ty.weight[static_cast<size_t>(yy) * ty.max_count];
     int y0 = ty.first[yy], cnt = ty.count[yy];
-    float* drow = dst + static_cast<size_t>(yy) * out_w * 3;
+    uint8_t* drow = dst + static_cast<size_t>(yy) * out_w * 3;
     for (int xx = 0; xx < out_w * 3; ++xx) {
       float acc = 0;
       for (int i = 0; i < cnt; ++i)
         acc += wts[i] * tmp[static_cast<size_t>(y0 + i) * out_w * 3 + xx];
-      // PIL rounds to uint8 between passes? No — single clamp at the end.
-      drow[xx] = std::min(std::max(acc, 0.f), 255.f) * inv;
+      drow[xx] = clip8(acc);
     }
   }
+}
+
+// Bilinear RGB888 -> float32 [0,1] HWC: exactly the uint8 resize / 255
+// (ToTensor semantics), so the f32 and raw-uint8 loader outputs are
+// bit-consistent and both match the reference's PIL->ToTensor pipeline.
+void resize_bilinear_to_float(const uint8_t* src, int in_h, int in_w,
+                              int out_h, int out_w, float* dst) {
+  std::vector<uint8_t> u8(static_cast<size_t>(out_h) * out_w * 3);
+  resize_bilinear_u8(src, in_h, in_w, out_h, out_w, u8.data());
+  size_t n = u8.size();
+  // true division (not reciprocal-multiply): bit-equal to numpy's
+  // u8.astype(float32) / 255.0, the ToTensor the consumers replicate
+  for (size_t i = 0; i < n; ++i) dst[i] = u8[i] / 255.0f;
 }
 
 // Nearest resize for labels -> int32 (PIL NEAREST: floor((i+0.5)*scale)).
@@ -388,6 +411,17 @@ int load_image_f32(const char* path, int out_h, int out_w, float* out) {
   return 0;
 }
 
+// Decode+resize one RGB image to raw uint8 (out_h, out_w, 3) — the
+// bandwidth-lean host->device form (4x less H2D than f32; the /255
+// normalize runs on-device where XLA fuses it into the first conv).
+int load_image_u8(const char* path, int out_h, int out_w, uint8_t* out) {
+  std::vector<uint8_t> buf;
+  int w = 0, h = 0;
+  if (!decode_image(path, 3, &buf, &w, &h)) return -1;
+  resize_bilinear_u8(buf.data(), h, w, out_h, out_w, out);
+  return 0;
+}
+
 // Decode+resize one label map to int32 (out_h, out_w), nearest.
 int load_label_i32(const char* path, int out_h, int out_w, int32_t* out) {
   std::vector<uint8_t> buf;
@@ -409,6 +443,32 @@ int loader_batch(void* pool_ptr, const char** img_paths,
     pool->Submit([&, i] {
       float* img_dst = out_imgs + static_cast<size_t>(i) * h * w * 3;
       if (load_image_f32(img_paths[i], h, w, img_dst) != 0) rc = -1;
+      int32_t* lab_dst = out_labs + static_cast<size_t>(i) * h * w;
+      const char* lp = lab_paths ? lab_paths[i] : nullptr;
+      if (lp && lp[0]) {
+        if (load_label_i32(lp, h, w, lab_dst) != 0) rc = -1;
+      } else {
+        std::fill(lab_dst, lab_dst + static_cast<size_t>(h) * w, fill);
+      }
+      latch.Done();
+    });
+  }
+  latch.Wait();
+  return rc.load();
+}
+
+// Same as loader_batch with raw uint8 images (values are exactly the f32
+// path's * 255 — the PIL-rounded resize output).
+int loader_batch_u8(void* pool_ptr, const char** img_paths,
+                    const char** lab_paths, int n, int h, int w,
+                    uint8_t* out_imgs, int32_t* out_labs, int fill) {
+  Pool* pool = static_cast<Pool*>(pool_ptr);
+  Latch latch(n);
+  std::atomic<int> rc{0};
+  for (int i = 0; i < n; ++i) {
+    pool->Submit([&, i] {
+      uint8_t* img_dst = out_imgs + static_cast<size_t>(i) * h * w * 3;
+      if (load_image_u8(img_paths[i], h, w, img_dst) != 0) rc = -1;
       int32_t* lab_dst = out_labs + static_cast<size_t>(i) * h * w;
       const char* lp = lab_paths ? lab_paths[i] : nullptr;
       if (lp && lp[0]) {

@@ -158,6 +158,10 @@ def _bshift(m, q: int):
     """Axis -2 of (H, Wb, C): out[:, j] = m[:, j + q], zero fill."""
     if q == 0:
         return m
+    if abs(q) >= m.shape[1]:
+        # Wb == 1: the kept slice would be zero-size, which Mosaic
+        # rejects (see upsampler._bshift); the exact result is zeros.
+        return jnp.zeros_like(m)
     z = jnp.zeros(m.shape[:-2] + (abs(q), m.shape[-1]), m.dtype)
     return (jnp.concatenate([m[:, q:], z], 1) if q > 0
             else jnp.concatenate([z, m[:, :q]], 1))

@@ -85,6 +85,13 @@ def _hshift(m, q: int):
 def _bshift(m, q: int):
     if q == 0:
         return m
+    if abs(q) >= m.shape[1]:
+        # whole axis shifted out (Wb == 1 maps, e.g. a 128-wide stem at
+        # pi=128): the kept slice m[:, q:] / m[:, :q] would be a
+        # zero-size vector, which Mosaic refuses to lower ("vector types
+        # must have positive constant sizes") even though the interpret
+        # path accepts it — the exact result is all zeros.
+        return jnp.zeros_like(m)
     z = jnp.zeros(m.shape[:-2] + (abs(q), m.shape[-1]), m.dtype)
     return (jnp.concatenate([m[:, q:], z], 1) if q > 0
             else jnp.concatenate([z, m[:, :q]], 1))

@@ -99,7 +99,10 @@ def calibrate_q8_scales(params, batch_stats, batches,
                                   batch_stats["decoder"]["layers"],
                                   DECODER_LAYER_SPECS, "decoder", record)
     for images in batches:
-        erfnet.apply(params, batch_stats, jnp.asarray(images), train=False,
+        x = jnp.asarray(images)
+        if x.dtype == jnp.uint8:  # raw loader frames: ToTensor normalize
+            x = x.astype(jnp.float32) / 255.0
+        erfnet.apply(params, batch_stats, x, train=False,
                      compute_dtype=jnp.float32, encoder_layer_fn=enc_fn,
                      decoder_layer_fn=dec_fn)
     return record

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .data.transforms import colorize, train_id_to_label_id
+from .data.transforms import colorize, to_tensor, train_id_to_label_id
 from .inference import build_fast_infer
 
 
@@ -33,6 +33,11 @@ def _postprocess(pred, output: str):
     if output == "labelId":
         return train_id_to_label_id(pred).astype(jnp.uint8)
     return pred.astype(jnp.uint8)
+
+
+# uint8 frames -> [0,1] f32 on-device (ToTensor semantics); f32 passes
+# through — see data.transforms.to_tensor
+_normalize = to_tensor
 
 
 class StreamingSegmenter:
@@ -50,7 +55,7 @@ class StreamingSegmenter:
                                      q8_scales=q8_scales)
             @jax.jit
             def step_fn(images):
-                return _postprocess(infer(images), output)
+                return _postprocess(infer(_normalize(images)), output)
 
         self._step = step_fn
 
@@ -66,12 +71,17 @@ class StreamingSegmenter:
         hw = servable.input_hw
         post = jax.jit(lambda pred: _postprocess(pred, output))
 
+        norm = jax.jit(_normalize)
+
         def step(images):
             if tuple(images.shape[1:3]) != hw:
                 raise ValueError(
                     f"bundle expects {hw[0]}x{hw[1]} inputs, got "
                     f"{images.shape[1]}x{images.shape[2]}")
-            out = servable.predict(images)
+            # bundles are exported on [0,1] f32 specs; uint8 frames
+            # normalize on-device first (Servable.predict would cast
+            # WITHOUT the /255 — export.py's documented f32 contract)
+            out = servable.predict(norm(images))
             pred = out[1] if isinstance(out, tuple) else out
             return post(pred)
 

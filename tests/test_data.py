@@ -138,3 +138,55 @@ def test_loader_pad_to_mesh_multiple(fake_cityscapes):
     l6 = weighted_log_softmax_nll(logits[:6], rel6, cw)
     l8 = weighted_log_softmax_nll(logits, rel8, cw)
     np.testing.assert_allclose(float(l8), float(l6), rtol=1e-6)
+
+
+def test_dataset_uint8_dtype(fake_cityscapes):
+    ds8 = CityscapesDataset(fake_cityscapes, "val", height=64,
+                            image_dtype="uint8")
+    ds = CityscapesDataset(fake_cityscapes, "val", height=64)
+    img8, lab8, rel = ds8[2]
+    img, lab, _ = ds[2]
+    assert img8.dtype == np.uint8
+    # raw frames are exactly the pre-ToTensor PIL resize: /255 == f32 path
+    np.testing.assert_array_equal(img8.astype(np.float32) / 255.0, img)
+    np.testing.assert_array_equal(lab8, lab)
+    with pytest.raises(ValueError, match="image_dtype"):
+        CityscapesDataset(fake_cityscapes, "val", image_dtype="float16")
+
+
+@pytest.mark.parametrize("backend", ["native", "pil"])
+def test_loader_uint8_backends_agree(fake_cityscapes, backend):
+    from erfnet_pytorch_tpu import native
+    if backend == "native" and not native.available():
+        pytest.skip("native loader did not build")
+    ds = CityscapesDataset(fake_cityscapes, "val", height=64,
+                           image_dtype="uint8")
+    dl = DataLoader(ds, batch_size=6, num_workers=2, backend=backend)
+    images, labels, rels, n_valid = next(iter(dl))
+    images = np.asarray(images)
+    assert images.dtype == np.uint8 and images.shape == (6, 64, 128, 3)
+    # both backends resize through uint8 rounding -> at most 1 LSB apart
+    ref = np.stack([ds[i][0] for i in range(6)])
+    diff = np.abs(images.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1
+
+
+def test_streaming_segmenter_uint8_equals_f32(fake_cityscapes):
+    """uint8 frames normalize on-device to EXACTLY the f32 loader values,
+    so predictions (and colorized outputs) are bit-identical."""
+    import jax
+    from erfnet_pytorch_tpu.models import erfnet
+    from erfnet_pytorch_tpu.streaming import StreamingSegmenter
+
+    params, state = erfnet.init(jax.random.PRNGKey(0), 20)
+    seg = StreamingSegmenter(params, state, dtype=np.float32,
+                             use_pallas=False, output="trainId")
+    ds8 = CityscapesDataset(fake_cityscapes, "val", height=64,
+                            image_dtype="uint8")
+    ds = CityscapesDataset(fake_cityscapes, "val", height=64)
+    got8 = list(seg.run(DataLoader(ds8, 3, num_workers=2)))
+    got = list(seg.run(DataLoader(ds, 3, num_workers=2)))
+    assert len(got8) == len(got) == 2
+    for (a, ra), (b, rb) in zip(got8, got):
+        assert ra == rb
+        np.testing.assert_array_equal(a, b)

@@ -40,6 +40,28 @@ def test_fast_infer_odd_shape_falls_back():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_fast_infer_wb1_stem():
+    """W == stem packing factor (128) makes the packed maps Wb == 1 wide;
+    the W-block shifts then shift the whole axis out and must return
+    zeros (upsampler._bshift guard) instead of building zero-size slices
+    — interpret mode accepted those, Mosaic on-chip refused ("vector
+    types must have positive constant sizes", seen at eval --height 64).
+    Parity here checks the zeros-return is the semantically right value;
+    the compiled lowering itself is verified by the on-chip CLI run
+    (README hardware table)."""
+    params, state = erfnet.init(jax.random.PRNGKey(0), 20)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 128, 3))
+    ref_fn = build_fast_infer(params, state, dtype=jnp.float32,
+                              use_pallas=False)
+    fast_fn = build_fast_infer(params, state, dtype=jnp.float32,
+                               use_pallas=True, interpret=True)
+    ref_logits, ref_pred = ref_fn(x)
+    logits, pred = fast_fn(x)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-3, atol=2e-3)
+    assert (np.asarray(pred) == np.asarray(ref_pred)).mean() > 0.999
+
+
 def test_streaming_segmenter(fake_cityscapes):
     from erfnet_pytorch_tpu.streaming import StreamingSegmenter
     from erfnet_pytorch_tpu.data.cityscapes import CityscapesDataset

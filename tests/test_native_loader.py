@@ -135,3 +135,58 @@ def test_dataloader_native_backend_matches_pil(tmp_path):
         assert pr == nr and pn == nn
         assert np.abs(np.asarray(pi) - np.asarray(ni)).max() <= 2.0 / 255
         np.testing.assert_array_equal(np.asarray(pl), np.asarray(nl))
+
+
+def test_u8_resize_matches_pil_within_1lsb(tmp_path):
+    """The uint8 resize rounds to 8 bits BETWEEN the two passes like PIL's
+    8bpc resample; float-vs-fixed-point weights leave at most 1 LSB."""
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 255, (128, 256, 3), dtype=np.uint8)
+    p = _png(tmp_path, "img.png", arr)
+    lib = native.get_lib()
+    import ctypes
+    out = np.empty((64, 128, 3), np.uint8)
+    rc = lib.load_image_u8(p.encode(), 64, 128,
+                           out.ctypes.data_as(
+                               ctypes.POINTER(ctypes.c_uint8)))
+    assert rc == 0
+    ref = np.asarray(Image.open(p).convert("RGB").resize(
+        (128, 64), Image.BILINEAR))
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.05  # and rarely even that
+
+
+def test_f32_path_is_exactly_u8_over_255(tmp_path):
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 255, (100, 180, 3), dtype=np.uint8)
+    p = _png(tmp_path, "img.png", arr)
+    lib = native.get_lib()
+    import ctypes
+    f32 = np.empty((64, 128, 3), np.float32)
+    u8 = np.empty((64, 128, 3), np.uint8)
+    assert lib.load_image_f32(p.encode(), 64, 128,
+                              f32.ctypes.data_as(
+                                  ctypes.POINTER(ctypes.c_float))) == 0
+    assert lib.load_image_u8(p.encode(), 64, 128,
+                             u8.ctypes.data_as(
+                                 ctypes.POINTER(ctypes.c_uint8))) == 0
+    np.testing.assert_array_equal(f32, u8.astype(np.float32) / 255.0)
+
+
+def test_batch_u8_loader(tmp_path):
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 255, (80, 160, 3), dtype=np.uint8)
+            for _ in range(3)]
+    paths = [_png(tmp_path, f"i{k}.png", a) for k, a in enumerate(imgs)]
+    ldr = native.NativeBatchLoader(num_threads=2)
+    try:
+        out_u8, labs = ldr.load_batch(paths, ["", "", ""], 40, 80,
+                                      image_dtype="uint8")
+        out_f32, _ = ldr.load_batch(paths, ["", "", ""], 40, 80)
+        assert out_u8.dtype == np.uint8 and out_u8.shape == (3, 40, 80, 3)
+        assert (labs == 255).all()
+        np.testing.assert_array_equal(out_f32,
+                                      out_u8.astype(np.float32) / 255.0)
+    finally:
+        ldr.close()
