@@ -90,8 +90,8 @@ def main(argv=None):
         args.height, args.width, args.subset = 512, 1024, "val"
     # explicit (h, w): the reference eval resize is Resize((512, 1024)) —
     # exact, not aspect-derived (eval/eval_iou.py:≈30).  Raw uint8 frames:
-    # 4x less host->device traffic; /255 runs on-device (to_tensor) and
-    # the values are exactly the f32 loader's, so the mIoU is unchanged.
+    # 4x less host->device traffic; /255 runs on-device (to_tensor, <=1 ulp
+    # of the f32 loader's values), so the mIoU is unchanged.
     width = args.width if args.width is not None else 2 * args.height
     ds = CityscapesDataset(args.datadir, args.subset,
                            size=(args.height, width), image_dtype="uint8")

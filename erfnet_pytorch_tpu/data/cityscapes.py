@@ -60,7 +60,8 @@ class CityscapesDataset:
         instead of the /255 float (same values scaled — the reference's
         ToTensor divides the same uint8 image); 4x less host->device
         traffic, normalized on-device by the consumer (StreamingSegmenter
-        does this under jit)."""
+        and the train/eval steps do this under jit — see
+        data.transforms.to_tensor for the <=1-ulp caveat)."""
         if image_dtype not in ("float32", "uint8"):
             raise ValueError(f"unsupported image_dtype: {image_dtype!r}")
         self.image_dtype = image_dtype

@@ -76,7 +76,15 @@ class ImageFolderDataset:
     relpath) — compatible with data.loader.DataLoader (labels are scalars)."""
 
     def __init__(self, root: str, split: str = "train", *, train: bool = True,
-                 size: int = 224, seed: int = 0):
+                 size: int = 224, seed: int = 0,
+                 image_dtype: str = "float32"):
+        """``image_dtype='uint8'``: yield the raw PIL crop — 4x less
+        host->device traffic; the consumer's normalize() divides on-device
+        (u8/255, <=1 ulp of numpy's — see data.transforms.to_tensor).
+        The ImageNet CLI opts in (cli/imagenet_main.py)."""
+        if image_dtype not in ("float32", "uint8"):
+            raise ValueError(f"unsupported image_dtype: {image_dtype!r}")
+        self.image_dtype = image_dtype
         self.root = os.path.join(root, split)
         self.train = train
         self.size = size
@@ -110,5 +118,8 @@ class ImageFolderDataset:
                     img = img.transpose(Image.FLIP_LEFT_RIGHT)
             else:
                 img = resize_center_crop(img, crop=self.size)
-            arr = np.asarray(img, dtype=np.float32) / 255.0
+            if self.image_dtype == "uint8":
+                arr = np.asarray(img, dtype=np.uint8)
+            else:
+                arr = np.asarray(img, dtype=np.float32) / 255.0
         return arr, np.int32(cls), rel

@@ -45,10 +45,12 @@ def relabel(label, olabel, nlabel):
 
 def to_tensor(images):
     """ToTensor's value contract for frames already in HWC layout: uint8
-    -> [0,1] float32 (exactly numpy's u8/255.0); float inputs pass
-    through.  Under jit the cast+scale fuses into the consumer's first
-    conv, which is what makes shipping raw uint8 host->device (4x less
-    traffic; data/loader.py image_dtype='uint8') free on the device side."""
+    -> [0,1] float32 (u8/255; XLA lowers the divide as reciprocal-multiply,
+    <=1 ulp from numpy's true division — beneath every downstream
+    tolerance); float inputs pass through.  Under jit the cast+scale fuses
+    into the consumer's first conv, which is what makes shipping raw uint8
+    host->device (4x less traffic; data/loader.py image_dtype='uint8')
+    free on the device side."""
     images = jnp.asarray(images)
     if images.dtype == jnp.uint8:
         return images.astype(jnp.float32) / 255.0

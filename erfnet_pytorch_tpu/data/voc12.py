@@ -23,7 +23,14 @@ def image_path(root: str, basename: str, extension: str) -> str:
 
 class VOC12Dataset:
     def __init__(self, root: str, *, height: Optional[int] = None,
-                 target_height: Optional[int] = None):
+                 target_height: Optional[int] = None,
+                 image_dtype: str = "float32"):
+        """``image_dtype='uint8'``: raw PIL frames (4x less host->device
+        traffic, normalized on-device by the train/eval steps — see
+        data.transforms.to_tensor)."""
+        if image_dtype not in ("float32", "uint8"):
+            raise ValueError(f"unsupported image_dtype: {image_dtype!r}")
+        self.image_dtype = image_dtype
         self.images_root = os.path.join(root, "images")
         self.labels_root = os.path.join(root, "labels")
         if not os.path.isdir(self.labels_root):
@@ -47,7 +54,10 @@ class VOC12Dataset:
             if self.height is not None:
                 w = image.width * self.height // image.height
                 image = image.resize((w, self.height), Image.BILINEAR)
-            image_np = np.asarray(image, dtype=np.float32) / 255.0
+            if self.image_dtype == "uint8":
+                image_np = np.asarray(image, dtype=np.uint8)
+            else:
+                image_np = np.asarray(image, dtype=np.float32) / 255.0
         with Image.open(image_path(self.labels_root, name, ".png")) as lab:
             label = lab.convert("P")
             if self.target_height is not None:

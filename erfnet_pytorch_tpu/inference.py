@@ -185,7 +185,10 @@ def _prepare(layers_params, layers_state, specs, dtype, tag=None,
 
 def _eligible(shape, p):
     b, h, w, c = shape
-    return (w % max(p, 8) == 0 and (c * p) % 128 == 0
+    # w // p >= 2: one-W-block packed maps hit Mosaic's bf16 tiling floor
+    # (size-1 second-minor memref slices must align to the sublane pair);
+    # XLA handles such tiny maps fine
+    return (w % max(p, 8) == 0 and (c * p) % 128 == 0 and w // p >= 2
             and h * (w // p) * (c * p) <= _MAX_MAP_ELEMS)
 
 

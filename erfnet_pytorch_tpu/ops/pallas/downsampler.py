@@ -472,7 +472,11 @@ def downsampler_packed_stats(x, w_hwio, b, *, pi: int, interpret=None):
 
 def down_packed_supported(x_shape, pi: int) -> bool:
     b, h, wb, c = x_shape
+    # wb >= 2: one-W-block maps hit Mosaic's bf16 tiling floor (size-1
+    # second-minor memref slices must align to the sublane pair) — the
+    # XLA block handles such tiny maps
     return (c % pi == 0 and pi % 2 == 0 and pi >= 2 and h % 2 == 0
+            and wb >= 2
             and h * wb * c <= 2 * 1024 * 1024 and (c // pi) * pi == c
             and b % spmd.data_shards() == 0)
 
@@ -881,6 +885,7 @@ def down_packed_eval_supported(x_shape, pi: int, cc: int,
                                max_elems: int) -> bool:
     b, h, wb, c = x_shape
     if not (pi % 2 == 0 and pi >= 2 and c % pi == 0 and h % 2 == 0
+            and wb >= 2  # Wb==1 fails Mosaic's bf16 memref tiling floor
             and b % spmd.data_shards() == 0):
         return False
     co = (pi // 2) * (cc + c // pi)

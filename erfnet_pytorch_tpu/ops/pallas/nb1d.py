@@ -236,7 +236,9 @@ def nb1d_infer_packed_chunked(x, packed_w, *, p: int, dilated: int, s2: int,
 
 def nb1d_chunk_supported(shape, p: int, dilated: int, max_elems: int):
     b, h, w, c = shape
-    return (w % p == 0 and (c * p) % 128 == 0 and
+    # w // p >= 2: one-W-block packed maps fail Mosaic's bf16 memref
+    # tiling floor (see inference._eligible)
+    return (w % p == 0 and (c * p) % 128 == 0 and w // p >= 2 and
             _h_chunks(h, w * c, 1 + dilated, max_elems) > 0)
 
 
@@ -354,7 +356,8 @@ def nb1d_infer_packed_blocked(x, packed_w, *, p: int, dilated: int, s2: int,
 
 def nb1d_blocked_supported(shape, p: int, dilated: int, max_elems: int):
     b, h, w, c = shape
-    return (w % p == 0 and (c * p) % 128 == 0 and
+    # w // p >= 2: see nb1d_chunk_supported
+    return (w % p == 0 and (c * p) % 128 == 0 and w // p >= 2 and
             _blocked_rows(h, w * c, 1 + dilated, max_elems) > 0)
 
 

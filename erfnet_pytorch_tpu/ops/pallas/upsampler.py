@@ -572,8 +572,10 @@ def ups_packed_eval_supported(x_shape, pi: int, po: int, cout: int,
     b, h, wb, ci = x_shape
     half = po // 2
     if not (ci % 128 == 0 and half % pi == 0 and (wb * pi * 2) % po == 0
+            and wb >= 2  # Wb==1 fails Mosaic's bf16 memref tiling floor
             and b % spmd.data_shards() == 0):
         return False
     chm = half * (ci // pi)
     wbo = (wb * ci) // chm
-    return _ups_blocked_rows(h, wb, ci, wbo, po * cout, max_elems) >= 8
+    return (wbo >= 2
+            and _ups_blocked_rows(h, wb, ci, wbo, po * cout, max_elems) >= 8)

@@ -20,6 +20,7 @@ import optax
 from ..ops.argmax import fast_argmax
 from ..ops.loss import weighted_log_softmax_nll
 from ..ops.augment import co_transform, co_transform_shifts
+from ..data.transforms import to_tensor
 
 
 class TrainState(NamedTuple):
@@ -63,8 +64,10 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
                     multi_step: int = 1):
     """Returns step(ts, images, labels, rng) -> (ts, loss[, preds, labels]).
 
-    images: (B, H, W, 3) float in [0,1]; labels: (B, H, W) int32 raw-void
-    (255); augmentation + relabel + (enc) x8 label downsample happen inside.
+    images: (B, H, W, 3) float in [0,1], or raw uint8 (the loader's
+    image_dtype='uint8' form — normalized on-device to exactly the f32
+    values); labels: (B, H, W) int32 raw-void (255); augmentation +
+    relabel + (enc) x8 label downsample happen inside.
 
     When the fused Pallas train kernels are enabled and train-IoU preds are
     not requested, the prediction head + weighted NLL run as one fused
@@ -160,6 +163,10 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
         model.apply).parameters
 
     def transform(rng, images, labels):
+        # raw uint8 loader frames (data/loader.py image_dtype='uint8', 4x
+        # less H2D) normalize here to EXACTLY the f32 pipeline's values
+        # (u8/255 is exact in f32); float inputs pass through untouched
+        images = to_tensor(images)
         if model_takes_aug:
             return co_transform_shifts(rng, images, labels, enc=enc)
         images, labels = co_transform(rng, images, labels, enc=enc,
@@ -336,7 +343,8 @@ def make_eval_step(model, class_weights, *, enc: bool, compute_dtype=None):
                                               head_argmax_supported,
                                               depth_to_space_planes)
         from ..ops.pallas.nb1d_train import fused_train_enabled
-        images, labels = co_transform(jax.random.PRNGKey(0), images, labels,
+        images, labels = co_transform(jax.random.PRNGKey(0),
+                                      to_tensor(images), labels,
                                       enc=enc, augment=False)
         G = 1 if enc else 4
         M = labels.size if enc else labels.size // 4
@@ -384,8 +392,8 @@ def make_infer_fn(model, *, compute_dtype=None, encoder_layer_fn=None):
 
     @jax.jit
     def infer(params, batch_stats, images):
-        logits, _ = model.apply(params, batch_stats, images, train=False,
-                                compute_dtype=compute_dtype,
+        logits, _ = model.apply(params, batch_stats, to_tensor(images),
+                                train=False, compute_dtype=compute_dtype,
                                 encoder_layer_fn=encoder_layer_fn)
         return logits, fast_argmax(logits)
 

@@ -57,6 +57,9 @@ class TrainConfig:
     mesh: Any = None                   # jax Mesh; default: all devices
     log_fn: Callable[[str], None] = print
     cache_dir: str = ""                # decoded-sample cache (data/cache.py)
+    image_dtype: str = "uint8"         # loader frame form: raw 'uint8'
+    # (4x less host->device traffic; the train/eval steps normalize
+    # on-device to EXACTLY the f32 values) or 'float32' ToTensor frames
     init_weights: str = ""             # warm-start weights (--state), partial
     visualize: bool = False            # visdom Dashboard (reference --visualize)
     port: int = 8097
@@ -121,14 +124,19 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
     eval_step = make_eval_step(model, weights, enc=enc,
                                compute_dtype=cfg.compute_dtype)
 
-    ds_train = CityscapesDataset(cfg.datadir, "train", height=cfg.height)
-    ds_val = CityscapesDataset(cfg.datadir, "val", height=cfg.height)
+    ds_train = CityscapesDataset(cfg.datadir, "train", height=cfg.height,
+                                 image_dtype=cfg.image_dtype)
+    ds_val = CityscapesDataset(cfg.datadir, "val", height=cfg.height,
+                               image_dtype=cfg.image_dtype)
     if cfg.cache_dir:
         from ..data.cache import CachedDataset
+        # dtype-tagged: a cache written for one frame form must not be
+        # served for the other (uint8 entries are also 4x smaller)
+        dt = "" if cfg.image_dtype == "float32" else "_u8"
         ds_train = CachedDataset(ds_train, cfg.cache_dir,
-                                 tag=f"train_h{cfg.height}")
+                                 tag=f"train_h{cfg.height}{dt}")
         ds_val = CachedDataset(ds_val, cfg.cache_dir,
-                               tag=f"val_h{cfg.height}")
+                               tag=f"val_h{cfg.height}{dt}")
     log(f"dataset: {len(ds_train)} train / {len(ds_val)} val images")
     # pad_to: non-divisible batches pad to a mesh multiple with void-label
     # rows (zero loss/grad weight) so every chip stays busy under DP; the
@@ -256,6 +264,8 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
                 _pl, p_preds, p_tgts = eval_step(
                     train_step.unflatten(fts), images, labels)
                 in_im = np.asarray(images[0])
+                if in_im.dtype == np.uint8:  # raw loader frames
+                    in_im = in_im.astype(np.float32) / 255.0
                 out_im = np.asarray(colorize(p_preds[0])) / 255.0
                 tgt_im = np.asarray(colorize(p_tgts[0])) / 255.0
                 if board is not None:

@@ -752,6 +752,15 @@ CASES = {
     "q8_packed": case_q8_packed,
     "infer_pipeline_512": _case_infer_pipeline((2, 512, 1024, 3)),
     "infer_pipeline_1024x2048": _case_infer_pipeline((1, 1024, 2048, 3)),
+    # W == stem packing factor -> Wb == 1 maps: the W-block shifts must
+    # take the zeros-return guard (upsampler._bshift) instead of building
+    # zero-size slices that Mosaic refuses to lower ("vector types must
+    # have positive constant sizes" — seen live at eval --height 64)
+    # 0.99: random-init logits at a 16k-px map are near-ties everywhere,
+    # so bf16 rounding flips ~0.5% of argmaxes (measured 0.9948 on-chip);
+    # the case exists to prove LOWERING + routing at this shape
+    "infer_pipeline_64x128_wb1": _case_infer_pipeline((2, 64, 128, 3),
+                                                      min_agree=0.99),
 }
 
 # interpret-mode emulation is minutes-to-hours at these map sizes on the

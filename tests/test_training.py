@@ -91,6 +91,56 @@ def test_train_step_decreases_loss(enc):
     assert np.isfinite(losses).all()
 
 
+def test_train_step_uint8_images_match_f32():
+    """Raw uint8 loader frames (image_dtype='uint8') through the train and
+    eval steps match the f32 pipeline.  NOT bit-equal: XLA lowers the
+    on-device /255 as reciprocal-multiply (<=1 ulp from numpy's true
+    division, measured), and the extra convert shifts fusion boundaries —
+    Adam amplifies both into the usual ±lr-scale param walk (CLAUDE.md
+    conditioning note), so everything gets the flat-vs-tree test's
+    tolerance structure."""
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, (4, 32, 64, 3), dtype=np.uint8)
+    labels = jnp.asarray(rng.randint(0, 20, (4, 32, 64)).astype(np.int32))
+    imgs_u8 = jnp.asarray(u8)
+    imgs_f32 = jnp.asarray(u8.astype(np.float32) / 255.0)
+
+    def run(images):
+        tx = optim.make_adam(5e-3)
+        ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+        step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                               augment=True)
+        losses = []
+        for i in range(2):
+            ts, loss = step(ts, images, labels, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        ev = make_eval_step(erfnet, DECODER_WEIGHTS, enc=False)
+        el, preds, tgts = ev(ts, images, labels)
+        return losses, ts, float(el), np.asarray(preds)
+
+    l8, ts8, e8, p8 = run(imgs_u8)
+    lf, tsf, ef, pf = run(imgs_f32)
+    assert abs(l8[0] - lf[0]) < 1e-5 * lf[0]   # forward: <=1-ulp inputs
+    assert abs(l8[1] - lf[1]) < 1e-2           # post-step: op-order noise
+    assert abs(e8 - ef) < 1e-2
+    # preds come from post-step (±lr-walked) params on random-init
+    # near-uniform logits: ~5% of argmaxes flip (measured 0.944); the
+    # params bound below is the real equivalence guard
+    assert (p8 == pf).mean() > 0.9
+    # noise ceiling: 2 steps x 2*lr (early Adam updates are ~±lr*sign and
+    # a near-zero grad can flip sign both steps; measured max 0.0200);
+    # a real ingestion bug would scramble params by O(1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                atol=4.2 * 5e-3),
+        ts8.params, tsf.params)
+    worst_mean = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).mean()),
+        ts8.params, tsf.params)))
+    assert worst_mean < 5e-3  # noise is sparse; bias would be dense
+
+
 def test_flat_train_step_matches_tree_step():
     """flat=True (raveled params/moments carry) must be bit-compatible math
     with the per-leaf tree step: same losses, same params after N steps."""
