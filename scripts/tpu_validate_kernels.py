@@ -565,7 +565,8 @@ def _case_head_loss(G):
     return run
 
 
-def _case_train_step(enc):
+def _case_train_step(enc, shape=(2, 128, 256, 3), uint8=False,
+                     require_routed=True):
     def run(interpret):
         import jax, jax.numpy as jnp  # noqa: E401
         from erfnet_pytorch_tpu.models import erfnet
@@ -576,10 +577,14 @@ def _case_train_step(enc):
         tx = optim.make_adam()
         ts0 = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
         rng = np.random.RandomState(0)
-        # routes the full packed train paths (stem pi=32 stats downsampler,
-        # packed C64 run, C128 epi pairs; decoder packed upsampler stats)
-        images = jnp.asarray(rng.rand(2, 128, 256, 3).astype(np.float32))
-        labels = jnp.asarray(rng.randint(0, 20, (2, 128, 256), np.int64)
+        # default shape routes the full packed train paths (stem pi=32
+        # stats downsampler, packed C64 run, C128 epi pairs; decoder
+        # packed upsampler stats)
+        if uint8:  # raw loader frames: to_tensor normalizes in-step
+            images = jnp.asarray(rng.randint(0, 256, shape, dtype=np.uint8))
+        else:
+            images = jnp.asarray(rng.rand(*shape).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 20, shape[:3], np.int64)
                              .astype(np.int32))
 
         def one(enabled):
@@ -592,12 +597,14 @@ def _case_train_step(enc):
 
         from erfnet_pytorch_tpu.models.erfnet import (_encoder_packed_ok,
                                                       _decoder_packed_ok)
-        routed = bool(_encoder_packed_ok(images.shape)) and (
-            enc or bool(_decoder_packed_ok((2, 16, 32, 128))))
+        B, H, W = shape[:3]
+        routed = bool(_encoder_packed_ok(shape)) and (
+            enc or bool(_decoder_packed_ok((B, H // 8, W // 8, 128))))
         p_ref, l_ref = one(False)
         p_f, l_f = one(True)
         checks = [{"check": "kernels routed (not XLA fallback)",
-                   "pass": routed},
+                   "pass": routed if require_routed else True,
+                   "routed": routed},
                   _check("loss", l_f, l_ref, rtol=1e-4, atol=1e-5),
                   # post-Adam params: fp-noise grads amplified to O(lr) —
                   # smoke bound (tests/test_nb1d_train_kernel.py:169)
@@ -608,8 +615,10 @@ def _case_train_step(enc):
             + ("(encoder: stats downsampler pi=32/8/2, packed C64 run, "
                "C128 epi pairs, head_loss G=1)" if enc else
                "(full net: + decoder stats upsamplers, C128/C16 pairs, "
-               "head_loss G=32)"),
-            (2, 128, 256, 3), checks)
+               "head_loss G=32)")
+            + (" [raw-uint8 ingestion, smallest-shape routing]"
+               if uint8 else ""),
+            shape, checks)
     return run
 
 
@@ -747,6 +756,13 @@ CASES = {
     "head_loss_G32": _case_head_loss(32),
     "train_step_enc": _case_train_step(True),
     "train_step_full": _case_train_step(False),
+    # smallest routable map + raw-uint8 frames (the shipped loader
+    # default): pins the train-path Wb>=2 gates and the in-step ToTensor
+    # compiled on-chip; some blocks legitimately fall back to XLA here,
+    # so routing is recorded but not required
+    "train_step_tiny_u8": _case_train_step(False, shape=(2, 64, 128, 3),
+                                           uint8=True,
+                                           require_routed=False),
     "eval_step_fused": case_eval_step_fused,
     "q8_plain": case_q8_plain,
     "q8_packed": case_q8_packed,
@@ -771,6 +787,7 @@ CPU_SKIP = {
     "nb1d_infer_packed_blocked_p8", "nb1d_infer_chunked",
     "nb1d_infer_packed_chunked", "infer_pipeline_512",
     "infer_pipeline_1024x2048", "train_step_enc", "train_step_full",
+    "train_step_tiny_u8",
 }
 
 
