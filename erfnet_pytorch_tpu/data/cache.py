@@ -31,6 +31,11 @@ class CachedDataset:
         os.makedirs(cache_dir, exist_ok=True)
         img0, lab0, _ = dataset[0]
         self._img_shape = img0.shape
+        # honor the wrapped dataset's frame form: raw uint8 caches
+        # (image_dtype='uint8') are 4x smaller on disk AND must round-trip
+        # as uint8 — storing them in an f32 memmap would silently return
+        # 0-255 floats that the consumers' ToTensor passes through unscaled
+        self._img_dtype = np.dtype(img0.dtype)
         self._lab_shape = lab0.shape
         n = len(dataset)
         self._img_path = os.path.join(cache_dir, f"{tag}_images.npy")
@@ -42,7 +47,8 @@ class CachedDataset:
                      and os.path.exists(self._mask_path))
         mode = "w+" if fresh else "r+"
         self._imgs = np.lib.format.open_memmap(
-            self._img_path, mode=mode, dtype=np.float32, shape=img_shape) \
+            self._img_path, mode=mode, dtype=self._img_dtype,
+            shape=img_shape) \
             if fresh else np.lib.format.open_memmap(self._img_path,
                                                     mode="r+")
         self._labs = np.lib.format.open_memmap(
@@ -58,6 +64,10 @@ class CachedDataset:
         assert self._imgs.shape == img_shape, (
             f"stale cache {self._img_path}: {self._imgs.shape} != "
             f"{img_shape} — delete the cache dir")
+        assert self._imgs.dtype == self._img_dtype, (
+            f"stale cache {self._img_path}: dtype {self._imgs.dtype} != "
+            f"{self._img_dtype} (image_dtype changed?) — delete the cache "
+            f"dir or use a dtype-distinct tag")
 
     @property
     def filenames(self):

@@ -92,6 +92,26 @@ def test_cached_dataset(fake_cityscapes, tmp_path):
     assert batches[0][0].shape == (4, 64, 128, 3)
 
 
+def test_cached_dataset_uint8_roundtrip(fake_cityscapes, tmp_path):
+    """The cache must store raw uint8 frames AS uint8 (the trainer's
+    default form): an f32 memmap would silently return 0-255 floats that
+    to_tensor passes through unscaled (255x-bright training inputs)."""
+    from erfnet_pytorch_tpu.data.cache import CachedDataset
+
+    ds = CityscapesDataset(fake_cityscapes, "train", height=64,
+                           image_dtype="uint8")
+    cds = CachedDataset(ds, str(tmp_path / "cache"), tag="train64_u8")
+    img0, _, _ = cds[0]          # write-through
+    img1, _, _ = cds[0]          # cached read
+    assert img0.dtype == np.uint8 and img1.dtype == np.uint8
+    np.testing.assert_array_equal(img0, img1)
+    np.testing.assert_array_equal(img0, ds[0][0])
+    # a same-tag wrapper over a dtype-changed dataset must refuse
+    ds_f32 = CityscapesDataset(fake_cityscapes, "train", height=64)
+    with pytest.raises(AssertionError, match="dtype"):
+        CachedDataset(ds_f32, str(tmp_path / "cache"), tag="train64_u8")
+
+
 def test_loader_nested_iteration_safe(fake_cityscapes):
     """Concurrent iterators of ONE DataLoader must not cross-wire: each
     gets its own producer/pool/epoch (round-1 weakness: __iter__ mutated
