@@ -53,6 +53,11 @@ def build_parser():
     add_pallas_flag(p)
     from ..inference import add_int8_flags
     add_int8_flags(p)
+    p.add_argument("--image-dtype", default="uint8",
+                   choices=("uint8", "float32"),
+                   help="loader frame form: raw uint8 (default; 4x less "
+                        "host->device traffic, /255 runs on-device) or "
+                        "float32 ToTensor frames")
     return p
 
 
@@ -72,7 +77,8 @@ def main(argv=None):
     # normalizes on-device (the values are the same PIL-rounded resize
     # the reference's ToTensor divides)
     ds = CityscapesDataset(args.datadir, args.subset,
-                           size=(args.height, width), image_dtype="uint8")
+                           size=(args.height, width),
+                           image_dtype=args.image_dtype)
     dl = DataLoader(ds, args.batch_size, num_workers=args.num_workers)
     sink = PngBatchSink(args.outdir, "labelId", backend=args.writer,
                         num_threads=args.num_workers, level=args.png_level)

@@ -73,6 +73,11 @@ def build_parser():
     p.add_argument("--no-fused-kernels", action="store_true",
                    help="disable the custom-VJP fused Pallas train kernels "
                         "(use the plain-XLA matmul path)")
+    p.add_argument("--image-dtype", default="uint8",
+                   choices=("uint8", "float32"),
+                   help="loader frame form: raw uint8 (default; 4x less "
+                        "host->device traffic, ToTensor /255 runs "
+                        "on-device) or float32 ToTensor frames")
     return p
 
 
@@ -99,7 +104,7 @@ def main(argv=None):
         iou_val=args.iouVal, resume=args.resume, seed=args.seed,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         mesh=make_mesh(args.devices) if args.devices else None,
-        cache_dir=args.cache_dir,
+        cache_dir=args.cache_dir, image_dtype=args.image_dtype,
         init_weights=args.state or "",
         visualize=args.visualize, port=args.port,
         steps_plot=args.steps_plot, tensorboard=args.tensorboard,
