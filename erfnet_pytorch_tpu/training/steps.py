@@ -65,9 +65,10 @@ def make_train_step(model, optimizer, class_weights, *, enc: bool,
     """Returns step(ts, images, labels, rng) -> (ts, loss[, preds, labels]).
 
     images: (B, H, W, 3) float in [0,1], or raw uint8 (the loader's
-    image_dtype='uint8' form — normalized on-device to exactly the f32
-    values); labels: (B, H, W) int32 raw-void (255); augmentation +
-    relabel + (enc) x8 label downsample happen inside.
+    image_dtype='uint8' form — normalized on-device to within 1 ulp of
+    the f32 values, see data.transforms.to_tensor); labels: (B, H, W)
+    int32 raw-void (255); augmentation + relabel + (enc) x8 label
+    downsample happen inside.
 
     When the fused Pallas train kernels are enabled and train-IoU preds are
     not requested, the prediction head + weighted NLL run as one fused

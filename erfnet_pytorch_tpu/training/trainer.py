@@ -59,7 +59,7 @@ class TrainConfig:
     cache_dir: str = ""                # decoded-sample cache (data/cache.py)
     image_dtype: str = "uint8"         # loader frame form: raw 'uint8'
     # (4x less host->device traffic; the train/eval steps normalize
-    # on-device to EXACTLY the f32 values) or 'float32' ToTensor frames
+    # on-device to within 1 ulp of the f32 values) or 'float32' frames
     init_weights: str = ""             # warm-start weights (--state), partial
     visualize: bool = False            # visdom Dashboard (reference --visualize)
     port: int = 8097
