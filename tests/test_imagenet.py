@@ -42,6 +42,21 @@ def test_imagefolder_walk(fake_imagenet):
     assert img.shape == (64, 64, 3) and int(cls) == 2
 
 
+def test_imagefolder_uint8(fake_imagenet):
+    """image_dtype='uint8' (the ImageNet CLI's form): raw PIL crop whose
+    /255 equals the f32 dataset's values; val crops are deterministic so
+    the two forms compare exactly."""
+    ds8 = ImageFolderDataset(fake_imagenet, "val", train=False, size=64,
+                             image_dtype="uint8")
+    ds = ImageFolderDataset(fake_imagenet, "val", train=False, size=64)
+    img8, cls8, rel8 = ds8[3]
+    img, cls, rel = ds[3]
+    assert img8.dtype == np.uint8 and (cls8, rel8) == (cls, rel)
+    np.testing.assert_array_equal(img8.astype(np.float32) / 255.0, img)
+    with pytest.raises(ValueError, match="image_dtype"):
+        ImageFolderDataset(fake_imagenet, "val", image_dtype="bf16")
+
+
 def test_center_crop_matches_torchvision():
     tv = pytest.importorskip("torchvision", reason="torchvision not baked in")
     # only runs if torchvision exists; otherwise PIL math is covered below
