@@ -39,6 +39,12 @@ def build_parser():
                         "custom calls); lowered for both cpu and tpu")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (implies --xla)")
+    p.add_argument("--input-dtype", default="float32",
+                   choices=("float32", "uint8"),
+                   help="bundle input spec: classic [0,1] float32, or raw "
+                        "uint8 frames (the ToTensor /255 runs inside the "
+                        "exported program — 4x less host->device traffic "
+                        "on the serving host)")
     return p
 
 
@@ -67,7 +73,8 @@ def main(argv=None):
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         use_pallas=False if xla else None,
         preds_only=not args.logits,
-        platforms=("cpu", "tpu") if xla else None)
+        platforms=("cpu", "tpu") if xla else None,
+        input_dtype=args.input_dtype)
     total = sum(e["size"] for e in header["entries"])
     print(f"Wrote {args.output}: {len(header['entries'])} bucket(s) "
           f"{[e['batch'] for e in header['entries']]}, "

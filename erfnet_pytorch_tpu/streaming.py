@@ -71,17 +71,15 @@ class StreamingSegmenter:
         hw = servable.input_hw
         post = jax.jit(lambda pred: _postprocess(pred, output))
 
-        norm = jax.jit(_normalize)
-
         def step(images):
             if tuple(images.shape[1:3]) != hw:
                 raise ValueError(
                     f"bundle expects {hw[0]}x{hw[1]} inputs, got "
                     f"{images.shape[1]}x{images.shape[2]}")
-            # bundles are exported on [0,1] f32 specs; uint8 frames
-            # normalize on-device first (Servable.predict would cast
-            # WITHOUT the /255 — export.py's documented f32 contract)
-            out = servable.predict(norm(images))
+            # Servable._coerce routes any frame form to the bundle's
+            # input spec (uint8 gets the ToTensor /255 for f32-spec
+            # bundles, passes raw into uint8-spec ones)
+            out = servable.predict(images)
             pred = out[1] if isinstance(out, tuple) else out
             return post(pred)
 

@@ -40,6 +40,38 @@ def test_export_round_trip_matches_live_infer(tmp_path, net):
                                   np.asarray(live(x)))
 
 
+def test_uint8_spec_bundle_and_frame_coercion(tmp_path, net):
+    """input_dtype='uint8' bundles take RAW frames (the exported program
+    runs the ToTensor /255 itself); f32-spec bundles apply /255 to uint8
+    frames in _coerce (a plain cast used to feed 0-255 floats to a [0,1]
+    program).  Both routes must agree with the live pipeline."""
+    params, state = net
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (2, 64, 128, 3), dtype=np.uint8)
+    live = build_fast_infer(params, state, dtype=jnp.float32,
+                            use_pallas=False, preds_only=True)
+    want = np.asarray(live(jnp.asarray(u8).astype(jnp.float32) / 255.0))
+
+    pu8 = str(tmp_path / "u8.erfx")
+    hdr = save_servable(pu8, params, state, batch_sizes=(2,), height=64,
+                        width=128, dtype=jnp.float32, use_pallas=False,
+                        input_dtype="uint8")
+    assert hdr["input_dtype"] == "uint8"
+    svu = load_servable(pu8)
+    assert svu.input_dtype == "uint8"
+    np.testing.assert_array_equal(np.asarray(svu.predict(u8)), want)
+    # [0,1] float frames re-quantize exactly (round(u8/255*255) == u8)
+    np.testing.assert_array_equal(
+        np.asarray(svu.predict(u8.astype(np.float32) / 255.0)), want)
+
+    pf = str(tmp_path / "f32.erfx")
+    save_servable(pf, params, state, batch_sizes=(2,), height=64,
+                  width=128, dtype=jnp.float32, use_pallas=False)
+    svf = load_servable(pf)
+    assert svf.input_dtype == "float32"  # and old headers default to it
+    np.testing.assert_array_equal(np.asarray(svf.predict(u8)), want)
+
+
 def test_predict_pads_to_bucket_and_slices_back(tmp_path, net):
     params, state = net
     path = str(tmp_path / "m.erfx")
