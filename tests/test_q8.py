@@ -121,6 +121,23 @@ def _tiny_model(key, n_classes=20):
     return erfnet.init(key, n_classes)
 
 
+def test_calibrate_uint8_batches_match_f32():
+    """Calibration over raw uint8 loader frames (the CLIs' default form)
+    normalizes them itself and produces the same scales as the /255 f32
+    batches."""
+    params, state = _tiny_model(jax.random.PRNGKey(0))
+    u8 = np.random.RandomState(0).randint(0, 256, (1, 64, 128, 3),
+                                          dtype=np.uint8)
+    s8 = calibrate_q8_scales(params, state, [jnp.asarray(u8)])
+    sf = calibrate_q8_scales(params, state,
+                             [jnp.asarray(u8).astype(jnp.float32) / 255.0])
+    assert s8.keys() == sf.keys()
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-5),
+        s8, sf)
+
+
 def test_calibrate_and_fast_infer_q8_end_to_end(tmp_path):
     from erfnet_pytorch_tpu.inference import build_fast_infer
     params, state = _tiny_model(jax.random.PRNGKey(0))
