@@ -157,6 +157,29 @@ def test_u8_resize_matches_pil_within_1lsb(tmp_path):
     assert (diff > 0).mean() < 0.05  # and rarely even that
 
 
+def test_u8_resize_size_fuzz_vs_pil(tmp_path):
+    """Random in/out geometry sweep of the two-pass uint8 resize vs PIL —
+    covers up/downscale, extreme aspect changes, and 1-px outputs (the
+    tap-window edge cases in make_taps)."""
+    rng = np.random.RandomState(7)
+    lib = native.get_lib()
+    import ctypes
+    for trial in range(12):
+        ih, iw = int(rng.randint(3, 90)), int(rng.randint(3, 90))
+        oh, ow = int(rng.randint(1, 70)), int(rng.randint(1, 70))
+        arr = rng.randint(0, 255, (ih, iw, 3), dtype=np.uint8)
+        p = _png(tmp_path, f"fz{trial}.png", arr)
+        out = np.empty((oh, ow, 3), np.uint8)
+        rc = lib.load_image_u8(p.encode(), oh, ow,
+                               out.ctypes.data_as(
+                                   ctypes.POINTER(ctypes.c_uint8)))
+        assert rc == 0, (ih, iw, oh, ow)
+        ref = np.asarray(Image.open(p).convert("RGB").resize(
+            (ow, oh), Image.BILINEAR))
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, (ih, iw, oh, ow, diff.max())
+
+
 def test_f32_path_is_exactly_u8_over_255(tmp_path):
     rng = np.random.RandomState(4)
     arr = rng.randint(0, 255, (100, 180, 3), dtype=np.uint8)
