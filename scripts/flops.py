@@ -58,6 +58,17 @@ def main():
         else:        # the reference's own card (~6.7 TFLOP/s f32)
             line += f" = {eff / 6.7:.1%} of Titan X f32 peak"
         print(line)
+    # train step: fwd + dgrad + wgrad ~= 3x the conv MACs (the standard
+    # approximation; the augment fold drops the dead input-layer dgrad,
+    # loss/optimizer/BN-stat work is sub-% MXU FLOPs)
+    gt = 3 * g
+    dev_ms, batch = 21.0, 6  # r3 profiled device span at multi_step=2
+    eff = 2 * gt * batch / dev_ms
+    print(f"  train step (~{2 * gt:.0f} GFLOPs/img approx, batch {batch}, "
+          f"{dev_ms} ms device): {eff:.1f} TFLOP/s "
+          f"= {eff / V5E_BF16_PEAK_TFLOPS:.1%} of peak step-level — the "
+          f"kernels themselves measure 85-90% (CLAUDE.md); the gap is BN "
+          f"coefficient plumbing, epilogues, and copies, not the MXU")
 
 
 if __name__ == "__main__":
