@@ -172,8 +172,11 @@ class Servable:
         if jnp.dtype(self.input_dtype) == jnp.uint8:
             if images.dtype == jnp.uint8:
                 return images
-            return jnp.round(images.astype(jnp.float32)
-                             * 255.0).astype(jnp.uint8)
+            # clip before the cast: an out-of-contract 0-255-valued float
+            # frame saturates (wrong but monotone) instead of wrapping
+            # modulo 256 into garbage
+            return jnp.clip(jnp.round(images.astype(jnp.float32) * 255.0),
+                            0.0, 255.0).astype(jnp.uint8)
         if images.dtype == jnp.uint8:
             return images.astype(jnp.float32) / 255.0
         return images.astype(jnp.float32)

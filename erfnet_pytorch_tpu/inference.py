@@ -159,12 +159,14 @@ def _prepare(layers_params, layers_state, specs, dtype, tag=None,
         p = _PACK.get(c)
         if p is None:
             continue
+        # one f32 BN-fold per block; the compute-dtype form is a pure
+        # cast of it (fuse_nb1d_params folds in f32 and casts last)
         fused = fuse_nb1d_params(layers_params[i], layers_state[i])
         acts = (q8_scales or {}).get((tag, i))
         if p == 1:
-            prepared[i] = ("plain", fuse_nb1d_params(layers_params[i],
-                                                     layers_state[i],
-                                                     dtype=dtype), dil)
+            prepared[i] = ("plain",
+                           jax.tree.map(lambda a: a.astype(dtype), fused),
+                           dil)
             if acts is not None:
                 from .ops.pallas.nb1d_q8 import prepare_nb1d_q8
                 prepared_q8[i] = ("plain", prepare_nb1d_q8(fused, acts),

@@ -164,6 +164,10 @@ bool decode_image(const char* path, int channels, std::vector<uint8_t>* out,
 bool encode_png(const char* path, const uint8_t* data, int h, int w,
                 int color_type, const uint8_t* palette, int pal_n,
                 int level) {
+  if (pal_n < 0 || pal_n > 256) return false;  // PNG PLTE hard limit
+  // trivially-destructible palette storage declared before setjmp: a
+  // longjmp across a live std::vector would skip its destructor (UB)
+  png_color pal[256];
   FILE* fp = std::fopen(path, "wb");
   if (!fp) return false;
   png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr,
@@ -183,15 +187,13 @@ bool encode_png(const char* path, const uint8_t* data, int h, int w,
                  level >= 6 ? PNG_ALL_FILTERS : PNG_FILTER_SUB);
   png_set_IHDR(png, info, w, h, 8, color_type, PNG_INTERLACE_NONE,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
-  std::vector<png_color> pal;
   if (color_type == PNG_COLOR_TYPE_PALETTE) {
-    pal.resize(pal_n);
     for (int i = 0; i < pal_n; ++i) {
       pal[i].red = palette[3 * i + 0];
       pal[i].green = palette[3 * i + 1];
       pal[i].blue = palette[3 * i + 2];
     }
-    png_set_PLTE(png, info, pal.data(), pal_n);
+    png_set_PLTE(png, info, pal, pal_n);
   }
   png_write_info(png, info);
   int bpp = color_type == PNG_COLOR_TYPE_RGB ? 3 : 1;

@@ -53,8 +53,13 @@ def head_argmax_supported(M: int, K: int, G: int, n_classes: int) -> bool:
     if M % n:
         return False
     M //= n  # validate the PER-SHARD row count the kernel will see
+    # mirror head_argmax's builder choice: the grouped kernel (G >= 8)
+    # pads classes per-group to a sublane-tile multiple, so its VMEM
+    # chunk derives from the PADDED GC — validating the unpadded one
+    # can approve a chunk the routed kernel never uses
+    C = -(-n_classes // 8) * 8 if G >= 8 else n_classes
     return (G * n_classes <= 1024 and K <= 512
-            and _chunk(M, G * n_classes) % 128 == 0)
+            and _chunk(M, G * C) % 128 == 0)
 
 
 def _kernel(feats_ref, W, bias, gid, iota, out_ref, *, G, n_classes,

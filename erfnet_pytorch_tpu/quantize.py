@@ -98,10 +98,11 @@ def calibrate_q8_scales(params, batch_stats, batches,
     dec_fn = _make_calib_layer_fn(params["decoder"]["layers"],
                                   batch_stats["decoder"]["layers"],
                                   DECODER_LAYER_SPECS, "decoder", record)
+    from .data.transforms import to_tensor
     for images in batches:
-        x = jnp.asarray(images)
-        if x.dtype == jnp.uint8:  # raw loader frames: ToTensor normalize
-            x = x.astype(jnp.float32) / 255.0
+        # raw uint8 loader frames take the same ToTensor normalize every
+        # consuming step applies — calibration must see the kernels' inputs
+        x = to_tensor(jnp.asarray(images))
         erfnet.apply(params, batch_stats, x, train=False,
                      compute_dtype=jnp.float32, encoder_layer_fn=enc_fn,
                      decoder_layer_fn=dec_fn)

@@ -102,9 +102,16 @@ class WireClient:
 
 
 class Dashboard:
+    # consecutive post failures before plotting disables itself — a flaky
+    # or restarting server must never stall (2 s timeout per plot) or
+    # crash a multi-hour training run (the real visdom client likewise
+    # swallows connection errors)
+    _MAX_FAILURES = 3
+
     def __init__(self, port=8097, host="localhost"):
         self.vis = None
         self._ok = False
+        self._failures = 0
         try:
             import visdom  # type: ignore
             self.vis = visdom.Visdom(port=port)
@@ -120,11 +127,25 @@ class Dashboard:
             print(f"[visualize] no visdom server on port {port}; "
                   "plots disabled")
 
+    def _guard(self, fn, *args, **kwargs):
+        """Run one plot call; never let a transport hiccup escape into
+        the epoch loop."""
+        try:
+            fn(*args, **kwargs)
+            self._failures = 0
+        except Exception as e:  # pragma: no cover - transport-dependent
+            self._failures += 1
+            print(f"[visualize] plot failed ({e!r})")
+            if self._failures >= self._MAX_FAILURES:
+                print(f"[visualize] {self._failures} consecutive failures; "
+                      "plots disabled for the rest of the run")
+                self._ok = False
+
     def loss(self, losses, title):
         if not self._ok:
             return
-        self.vis.line(np.array(losses), win=title,
-                      opts=dict(title=title))
+        self._guard(self.vis.line, np.array(losses), win=title,
+                    opts=dict(title=title))
 
     def image(self, image, title):
         """image: (H, W, 3) float in [0,1] or (3, H, W) — torch-habit safe."""
@@ -133,4 +154,4 @@ class Dashboard:
         img = np.asarray(image)
         if img.ndim == 3 and img.shape[-1] == 3:
             img = img.transpose(2, 0, 1)
-        self.vis.image(img, win=title, opts=dict(title=title))
+        self._guard(self.vis.image, img, win=title, opts=dict(title=title))

@@ -348,3 +348,22 @@ def test_packed_head_argmax_matches_plain():
                                                      Wd // p, p))
     np.testing.assert_array_equal(plain, ref)
     np.testing.assert_array_equal(packed, ref)
+
+
+def test_head_argmax_gate_matches_grouped_kernel_chunk():
+    """head_argmax_supported must validate the SAME VMEM chunk the routed
+    kernel builds: the grouped builder (G >= 8) pads classes per-group to
+    a sublane-tile multiple (20 -> 24), so its chunk derives from the
+    padded GC.  Regression: with the gate computing the chunk from the
+    UNPADDED GC, M = 12416 (factor 97, reachable via --height/--width)
+    passed the gate while the kernel picked a non-128-divisible chunk —
+    a Mosaic lowering failure on TPU that CPU interpret mode hides."""
+    from erfnet_pytorch_tpu.ops.pallas.head_argmax import (
+        _chunk, head_argmax_supported)
+
+    G, ncls, K = 32, 20, 128
+    C8 = -(-ncls // 8) * 8
+    # the pathological shard size plus a sweep of awkward factorizations
+    for M in [12416] + [128 * m for m in range(1, 400, 7)]:
+        if head_argmax_supported(M, K, G, ncls):
+            assert _chunk(M, G * C8) % 128 == 0, M
