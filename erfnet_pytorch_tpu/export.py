@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
+from .data.transforms import to_tensor
 from .inference import build_fast_infer
 
 _MAGIC = b"ERFX0001"
@@ -44,6 +45,31 @@ _MAGIC = b"ERFX0001"
 
 def _dtype_name(dtype) -> str:
     return jnp.dtype(dtype).name
+
+
+def _coerce_to_spec(images, spec_dtype):
+    """Route any reasonable frame form to a bundle's input spec (traced).
+
+    f32-spec bundles: raw uint8 frames get the ToTensor /255
+    (``data.transforms.to_tensor`` — the same normalize every live
+    inference path applies; a plain cast would silently feed 0-255
+    floats to a [0,1] program); float frames cast to f32 unchanged.
+    uint8-spec bundles: uint8 passes through (the program normalizes
+    internally); [0,1] float frames re-quantize with round(x*255) —
+    exact for frames that originated as uint8/255.  Dtype branching is
+    static under trace, so the whole adapter fuses into the cached
+    jitted program."""
+    if jnp.dtype(spec_dtype) == jnp.uint8:
+        if images.dtype == jnp.uint8:
+            return images
+        # clip before the cast: an out-of-contract 0-255-valued float
+        # frame saturates (wrong but monotone) instead of wrapping
+        # modulo 256 into garbage
+        return jnp.clip(jnp.round(images.astype(jnp.float32) * 255.0),
+                        0.0, 255.0).astype(jnp.uint8)
+    if images.dtype == jnp.uint8:
+        return to_tensor(images)
+    return images.astype(jnp.float32)
 
 
 def export_infer(params, batch_stats, *, batch_size: int, height: int = 512,
@@ -71,7 +97,7 @@ def export_infer(params, batch_stats, *, batch_size: int, height: int = 512,
         base = infer
 
         def infer(u8):  # noqa: F811 — uint8-spec wrapper
-            return base(u8.astype(jnp.float32) / 255.0)
+            return base(to_tensor(u8))
     elif in_dt != jnp.float32:
         raise ValueError(f"unsupported input_dtype: {input_dtype!r}")
     x_spec = jax.ShapeDtypeStruct((batch_size, height, width, 3), in_dt)
@@ -155,34 +181,16 @@ class Servable:
     def _fn(self, batch: int):
         if batch not in self._fns:
             exp = jax_export.deserialize(bytearray(self._blobs[batch]))
-            self._fns[batch] = jax.jit(exp.call)
+            call, spec = exp.call, self.input_dtype
+            # coercion traces INTO the cached program (jit specializes
+            # per caller dtype) — eager per-op dispatch on every predict
+            # would cost ~2.5 ms/op through a remote-relay host
+            self._fns[batch] = jax.jit(
+                lambda x: call(_coerce_to_spec(x, spec)))
         return self._fns[batch]
 
-    def _coerce(self, images):
-        """Route any reasonable frame form to the bundle's input spec.
-
-        f32-spec bundles: raw uint8 frames get the ToTensor /255 (the
-        same normalize every live inference path applies — a plain cast
-        would silently feed 0-255 floats to a [0,1] program); float
-        frames cast to f32 unchanged.  uint8-spec bundles: uint8 passes
-        through (the program normalizes internally); [0,1] float frames
-        re-quantize with round(x*255) — exact for frames that originated
-        as uint8/255."""
-        images = jnp.asarray(images)
-        if jnp.dtype(self.input_dtype) == jnp.uint8:
-            if images.dtype == jnp.uint8:
-                return images
-            # clip before the cast: an out-of-contract 0-255-valued float
-            # frame saturates (wrong but monotone) instead of wrapping
-            # modulo 256 into garbage
-            return jnp.clip(jnp.round(images.astype(jnp.float32) * 255.0),
-                            0.0, 255.0).astype(jnp.uint8)
-        if images.dtype == jnp.uint8:
-            return images.astype(jnp.float32) / 255.0
-        return images.astype(jnp.float32)
-
     def call(self, images):
-        images = self._coerce(images)
+        images = jnp.asarray(images)
         b = images.shape[0]
         if b not in self._blobs:
             raise ValueError(f"no bucket for batch {b}; have "
@@ -190,7 +198,7 @@ class Servable:
         return self._fn(b)(images)
 
     def predict(self, images):
-        images = self._coerce(images)
+        images = jnp.asarray(images)
         b = images.shape[0]
         fits = [n for n in self.batch_sizes if n >= b]
         if not fits:

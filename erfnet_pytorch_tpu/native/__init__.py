@@ -109,7 +109,10 @@ class NativeBatchLoader:
         if lib is None:
             raise RuntimeError("native loader unavailable")
         self._lib = lib
-        self._pool = lib.loader_create(num_threads)
+        # clamp like data.loader.DataLoader does: a 0-thread pool would
+        # accept jobs no worker ever runs and the first batch call would
+        # block forever inside the GIL-released Latch wait
+        self._pool = lib.loader_create(max(1, int(num_threads)))
 
     def close(self):
         if getattr(self, "_pool", None):
@@ -137,6 +140,8 @@ class NativeBatchLoader:
         encoded by C++ threads during one ctypes call, overlapping the
         next device batch.
         """
+        if not 0 <= int(level) <= 9:
+            raise ValueError(f"zlib level must be 0-9, got {level}")
         np = self._np
         arr = np.ascontiguousarray(arr, np.uint8)
         n = len(paths)

@@ -394,6 +394,45 @@ struct Latch {
 
 }  // namespace
 
+extern "C" int load_label_i32(const char* path, int out_h, int out_w,
+                              int32_t* out);
+
+namespace {
+
+// Shared body of loader_batch / loader_batch_u8: per-sample image decode
+// into `out_imgs` (pixel type + decoder vary), label decode into
+// `out_labs` (or constant `fill` when the path is NULL/empty), one
+// atomic rc for error propagation, Latch for completion.  Keeping this
+// in one place means the error/fill contract cannot drift between the
+// f32 and u8 paths.
+template <typename T>
+int batch_fill(void* pool_ptr, const char** img_paths,
+               const char** lab_paths, int n, int h, int w, T* out_imgs,
+               int32_t* out_labs, int fill,
+               int (*load_image)(const char*, int, int, T*)) {
+  Pool* pool = static_cast<Pool*>(pool_ptr);
+  Latch latch(n);
+  std::atomic<int> rc{0};
+  for (int i = 0; i < n; ++i) {
+    pool->Submit([&, i] {
+      T* img_dst = out_imgs + static_cast<size_t>(i) * h * w * 3;
+      if (load_image(img_paths[i], h, w, img_dst) != 0) rc = -1;
+      int32_t* lab_dst = out_labs + static_cast<size_t>(i) * h * w;
+      const char* lp = lab_paths ? lab_paths[i] : nullptr;
+      if (lp && lp[0]) {
+        if (load_label_i32(lp, h, w, lab_dst) != 0) rc = -1;
+      } else {
+        std::fill(lab_dst, lab_dst + static_cast<size_t>(h) * w, fill);
+      }
+      latch.Done();
+    });
+  }
+  latch.Wait();
+  return rc.load();
+}
+
+}  // namespace
+
 // ---------------------------------------------------------------------------
 // C ABI
 // ---------------------------------------------------------------------------
@@ -438,25 +477,8 @@ int load_label_i32(const char* path, int out_h, int out_w, int32_t* out) {
 int loader_batch(void* pool_ptr, const char** img_paths,
                  const char** lab_paths, int n, int h, int w,
                  float* out_imgs, int32_t* out_labs, int fill) {
-  Pool* pool = static_cast<Pool*>(pool_ptr);
-  Latch latch(n);
-  std::atomic<int> rc{0};
-  for (int i = 0; i < n; ++i) {
-    pool->Submit([&, i] {
-      float* img_dst = out_imgs + static_cast<size_t>(i) * h * w * 3;
-      if (load_image_f32(img_paths[i], h, w, img_dst) != 0) rc = -1;
-      int32_t* lab_dst = out_labs + static_cast<size_t>(i) * h * w;
-      const char* lp = lab_paths ? lab_paths[i] : nullptr;
-      if (lp && lp[0]) {
-        if (load_label_i32(lp, h, w, lab_dst) != 0) rc = -1;
-      } else {
-        std::fill(lab_dst, lab_dst + static_cast<size_t>(h) * w, fill);
-      }
-      latch.Done();
-    });
-  }
-  latch.Wait();
-  return rc.load();
+  return batch_fill(pool_ptr, img_paths, lab_paths, n, h, w, out_imgs,
+                    out_labs, fill, load_image_f32);
 }
 
 // Same as loader_batch with raw uint8 images (values are exactly the f32
@@ -464,25 +486,8 @@ int loader_batch(void* pool_ptr, const char** img_paths,
 int loader_batch_u8(void* pool_ptr, const char** img_paths,
                     const char** lab_paths, int n, int h, int w,
                     uint8_t* out_imgs, int32_t* out_labs, int fill) {
-  Pool* pool = static_cast<Pool*>(pool_ptr);
-  Latch latch(n);
-  std::atomic<int> rc{0};
-  for (int i = 0; i < n; ++i) {
-    pool->Submit([&, i] {
-      uint8_t* img_dst = out_imgs + static_cast<size_t>(i) * h * w * 3;
-      if (load_image_u8(img_paths[i], h, w, img_dst) != 0) rc = -1;
-      int32_t* lab_dst = out_labs + static_cast<size_t>(i) * h * w;
-      const char* lp = lab_paths ? lab_paths[i] : nullptr;
-      if (lp && lp[0]) {
-        if (load_label_i32(lp, h, w, lab_dst) != 0) rc = -1;
-      } else {
-        std::fill(lab_dst, lab_dst + static_cast<size_t>(h) * w, fill);
-      }
-      latch.Done();
-    });
-  }
-  latch.Wait();
-  return rc.load();
+  return batch_fill(pool_ptr, img_paths, lab_paths, n, h, w, out_imgs,
+                    out_labs, fill, load_image_u8);
 }
 
 // Write one 8-bit PNG.  mode: 0 gray (h, w), 1 RGB (h, w, 3),

@@ -122,9 +122,13 @@ class PngBatchSink:
                  num_threads: int = 4, level: int = 1):
         if kind not in ("color", "labelId"):
             raise ValueError(f"unsupported sink kind: {kind!r}")
+        if not 0 <= int(level) <= 9:
+            # reject at construction (CLI start), not on the first batch
+            # after the model run is already under way
+            raise ValueError(f"--png-level must be 0-9, got {level}")
         self.outdir = outdir
         self.kind = kind
-        self.level = level
+        self.level = int(level)
         self._writer = None
         if backend in ("auto", "native"):
             from . import native

@@ -112,3 +112,27 @@ def test_sink_labelid_gray(tmp_path):
 def test_sink_rejects_unknown_kind(tmp_path):
     with pytest.raises(ValueError, match="kind"):
         PngBatchSink(str(tmp_path), "logits")
+
+
+def test_write_batch_rejects_out_of_range_level(tmp_path, writer):
+    seg = np.zeros((1, 8, 8), np.uint8)
+    for bad in (-1, 10, 12):
+        with pytest.raises(ValueError, match="level"):
+            writer.write_batch([str(tmp_path / "x.png")], seg,
+                               mode=writer.MODE_GRAY, level=bad)
+    with pytest.raises(ValueError, match="png-level"):
+        PngBatchSink(str(tmp_path), "labelId", level=12)
+
+
+def test_zero_thread_pool_is_clamped(tmp_path):
+    """--num-workers 0 is a supported DataLoader value; the native pool
+    must clamp it like data.loader does — an actually-zero-worker pool
+    would deadlock the first batch call forever (jobs submitted, no
+    thread to run them, Latch.Wait inside a GIL-released ctypes call)."""
+    sink = PngBatchSink(str(tmp_path), "labelId", backend="native",
+                        num_threads=0)
+    assert sink.native
+    seg = np.full((2, 8, 8), 7, np.uint8)
+    paths = sink.write(seg, ["a.png", "b.png"])
+    for p in paths:
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), seg[0])
