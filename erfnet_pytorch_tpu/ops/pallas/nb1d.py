@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..batchnorm import fold_batch_norm
+from ...parallel import spmd
 
 # VMEM budget heuristic: full-map-per-image kernel needs ~5 live (H, W, C)
 # f32 buffers; stay well under the ~16 MB/core VMEM.
@@ -41,6 +42,7 @@ _MAX_MAP_BYTES = 2 * 1024 * 1024
 def nb1d_supported(shape, dtype=jnp.float32) -> bool:
     b, h, w, c = shape
     return (c % 128 == 0 and w % 8 == 0
+            and b % spmd.data_shards() == 0
             and h * w * c * 4 <= _MAX_MAP_BYTES * 4)
 
 
@@ -125,46 +127,54 @@ def _nb1d_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref, *,
 
 
 def _nb1d_call(x, fused, *, shifts, interpret):
-    B, H, W, C = x.shape
     s1, s2, s3, s4 = shifts
-    kernel = functools.partial(_nb1d_kernel, s1=s1, s2=s2, s3=s3, s4=s4,
-                               H=H, W=W, C=C)
-    wspec = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec,
-        ],
-        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=12 * 2 * H * W * C * C,
-            bytes_accessed=2 * H * W * C * x.dtype.itemsize
-            + 12 * C * C * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(x, fused["w1"], fused["b1"], fused["w2"], fused["b2"],
-      fused["w3"], fused["b3"], fused["w4"], fused["b4"])
+
+    def call(x, w1, b1, w2, b2, w3, b3, w4, b4):
+        # shapes read INSIDE the (possible) shard_map body: under a
+        # registered DP mesh the batch dim here is the per-shard one
+        B, H, W, C = x.shape
+        kernel = functools.partial(_nb1d_kernel, s1=s1, s2=s2, s3=s3,
+                                   s4=s4, H=H, W=W, C=C)
+        wspec = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec,
+            ],
+            out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=12 * 2 * H * W * C * C,
+                bytes_accessed=2 * H * W * C * x.dtype.itemsize
+                + 12 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, w1, b1, w2, b2, w3, b3, w4, b4)
+
+    # DataParallel contract (parallel/spmd.py): batch shards over the
+    # registered mesh's data axis; the eight weight operands replicate
+    return spmd.shard_batch_call(call, (True,) + (False,) * 8)(
+        x, fused["w1"], fused["b1"], fused["w2"], fused["b2"],
+        fused["w3"], fused["b3"], fused["w4"], fused["b4"])
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("dilated", "interpret"))
+@spmd.mesh_keyed_jit(static_argnames=("dilated", "interpret"))
 def nb1d_infer(x, fused, *, dilated: int, interpret: bool = False):
     """Fused inference non_bottleneck_1d. x: (B, H, W, C) -> same shape."""
     return _nb1d_call(x, fused, shifts=(1, 1, dilated, dilated),
                       interpret=interpret)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("p", "dilated", "s2", "s4", "interpret"))
+@spmd.mesh_keyed_jit(static_argnames=("p", "dilated", "s2", "s4",
+                                      "interpret"))
 def nb1d_infer_packed(x, packed_w, *, p: int, dilated: int, s2: int,
                       s4: int, interpret: bool = False):
     """Space-to-depth packed fused block: x (B, H, W, C) viewed as
@@ -239,6 +249,7 @@ def nb1d_chunk_supported(shape, p: int, dilated: int, max_elems: int):
     # w // p >= 2: one-W-block packed maps fail Mosaic's bf16 memref
     # tiling floor (see inference._eligible)
     return (w % p == 0 and (c * p) % 128 == 0 and w // p >= 2 and
+            b % spmd.data_shards() == 0 and
             _h_chunks(h, w * c, 1 + dilated, max_elems) > 0)
 
 
@@ -287,43 +298,50 @@ def _nb1d_blocked_kernel(x_hbm, w1, b1, w2, b2, w3, b3, w4, b4, out_ref,
 
 
 def _nb1d_blocked_call(x, fused, *, shifts, R, halo, interpret):
-    B, H, W, C = x.shape
-    nH = H // R
-    Rw = min(H, R + 2 * halo)
     s1, s2, s3, s4 = shifts
-    kernel = functools.partial(_nb1d_blocked_kernel, s1=s1, s2=s2, s3=s3,
-                               s4=s4, R=R, Rw=Rw, halo=halo, H=H, W=W, C=C)
-    wspec = pl.BlockSpec((3, C, C), lambda b, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((C,), lambda b, j: (0,), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(B, nH),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # whole map stays in HBM
-            wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec,
-        ],
-        out_specs=pl.BlockSpec((1, R, W, C), lambda b, j: (b, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((Rw, W, C), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=12 * 2 * H * W * C * C * Rw // R,
-            bytes_accessed=(Rw * nH + H) * W * C * x.dtype.itemsize
-            + 12 * C * C * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(x, fused["w1"], fused["b1"], fused["w2"], fused["b2"],
-      fused["w3"], fused["b3"], fused["w4"], fused["b4"])
+
+    def call(x, w1, b1, w2, b2, w3, b3, w4, b4):
+        # per-shard batch under a registered DP mesh (H/W/C are invariant)
+        B, H, W, C = x.shape
+        nH = H // R
+        Rw = min(H, R + 2 * halo)
+        kernel = functools.partial(_nb1d_blocked_kernel, s1=s1, s2=s2,
+                                   s3=s3, s4=s4, R=R, Rw=Rw, halo=halo,
+                                   H=H, W=W, C=C)
+        wspec = pl.BlockSpec((3, C, C), lambda b, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((C,), lambda b, j: (0,),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nH),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # whole map stays in HBM
+                wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec,
+            ],
+            out_specs=pl.BlockSpec((1, R, W, C), lambda b, j: (b, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((Rw, W, C), x.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=12 * 2 * H * W * C * C * Rw // R,
+                bytes_accessed=(Rw * nH + H) * W * C * x.dtype.itemsize
+                + 12 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, w1, b1, w2, b2, w3, b3, w4, b4)
+
+    return spmd.shard_batch_call(call, (True,) + (False,) * 8)(
+        x, fused["w1"], fused["b1"], fused["w2"], fused["b2"],
+        fused["w3"], fused["b3"], fused["w4"], fused["b4"])
 
 
-@functools.partial(jax.jit, static_argnames=("dilated", "max_elems",
-                                             "interpret"))
+@spmd.mesh_keyed_jit(static_argnames=("dilated", "max_elems", "interpret"))
 def nb1d_infer_blocked(x, fused, *, dilated: int, max_elems: int,
                        interpret: bool = False):
     """Big-map NB1d as ONE h-blocked halo kernel (vs nb1d_infer_chunked's
@@ -337,8 +355,8 @@ def nb1d_infer_blocked(x, fused, *, dilated: int, max_elems: int,
                               R=R, halo=halo, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "dilated", "s2", "s4",
-                                             "max_elems", "interpret"))
+@spmd.mesh_keyed_jit(static_argnames=("p", "dilated", "s2", "s4",
+                                      "max_elems", "interpret"))
 def nb1d_infer_packed_blocked(x, packed_w, *, p: int, dilated: int, s2: int,
                               s4: int, max_elems: int,
                               interpret: bool = False):
@@ -358,6 +376,7 @@ def nb1d_blocked_supported(shape, p: int, dilated: int, max_elems: int):
     b, h, w, c = shape
     # w // p >= 2: see nb1d_chunk_supported
     return (w % p == 0 and (c * p) % 128 == 0 and w // p >= 2 and
+            b % spmd.data_shards() == 0 and
             _blocked_rows(h, w * c, 1 + dilated, max_elems) > 0)
 
 
@@ -382,7 +401,7 @@ def _nb1d_stack_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref, *,
     out_ref[0] = x.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dils", "shifts", "interpret"))
+@spmd.mesh_keyed_jit(static_argnames=("dils", "shifts", "interpret"))
 def nb1d_stack_infer(x, stacked, *, dils=None, shifts=None,
                      interpret: bool = False):
     """Fused run of K NB1d blocks. stacked: dict of (K,3,C,C) / (K,C)
@@ -391,34 +410,41 @@ def nb1d_stack_infer(x, stacked, *, dils=None, shifts=None,
     reshapes to the packed (B, H, W/p, pC) view."""
     if shifts is None:
         shifts = tuple((1, 1, d, d) for d in dils)
-    B, H, W, C = x.shape
     K = len(shifts)
-    kernel = functools.partial(_nb1d_stack_kernel, shifts=shifts, H=H, W=W,
-                               C=C)
-    wspec = pl.BlockSpec((K, 3, C, C), lambda b: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((K, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec,
-        ],
-        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=K * 12 * 2 * H * W * C * C,
-            bytes_accessed=2 * H * W * C * x.dtype.itemsize
-            + K * 12 * C * C * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(x, stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
-      stacked["w3"], stacked["b3"], stacked["w4"], stacked["b4"])
+
+    def call(x, w1, b1, w2, b2, w3, b3, w4, b4):
+        # per-shard batch under a registered DP mesh
+        B, H, W, C = x.shape
+        kernel = functools.partial(_nb1d_stack_kernel, shifts=shifts, H=H,
+                                   W=W, C=C)
+        wspec = pl.BlockSpec((K, 3, C, C), lambda b: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((K, C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                wspec, bspec, wspec, bspec, wspec, bspec, wspec, bspec,
+            ],
+            out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=K * 12 * 2 * H * W * C * C,
+                bytes_accessed=2 * H * W * C * x.dtype.itemsize
+                + K * 12 * C * C * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, w1, b1, w2, b2, w3, b3, w4, b4)
+
+    return spmd.shard_batch_call(call, (True,) + (False,) * 8)(
+        x, stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
+        stacked["w3"], stacked["b3"], stacked["w4"], stacked["b4"])
 
 
 def stack_nb1d_params(fused_list, dtype=jnp.float32):
@@ -431,7 +457,7 @@ def stack_nb1d_params(fused_list, dtype=jnp.float32):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("p", "shifts", "interpret"))
+@spmd.mesh_keyed_jit(static_argnames=("p", "shifts", "interpret"))
 def nb1d_stack_infer_packed(x, stacked, *, p: int, shifts,
                             interpret: bool = False):
     """Fused run of K space-to-depth packed NB1d blocks: ONE kernel for a

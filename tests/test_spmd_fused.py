@@ -306,6 +306,81 @@ def test_forced_1way_mesh_engages_shardmap():
     assert spmd.active() == (None, None)  # context restored
 
 
+def test_sharded_fast_infer_matches_single():
+    """The fused INFERENCE pipeline under the 8-way mesh: build_fast_infer
+    (stacked/packed NB1d kernels + packed stem + fused head+argmax) on
+    sharded batches must reproduce the single-device preds bit-for-bit,
+    actually route through the Pallas kernels (not silently fall back to
+    XLA), and feed IouEval to the same confusion matrix.  This is the
+    reference's DataParallel-wrapped eval contract (eval/eval_iou.py wraps
+    the model in DataParallel exactly like training — SURVEY.md §3.2)."""
+    from erfnet_pytorch_tpu import inference as inf
+    from erfnet_pytorch_tpu.inference import build_fast_infer
+    from erfnet_pytorch_tpu.metrics.iou import IouEval
+
+    params, state = erfnet.init(jax.random.PRNGKey(0), 20)
+    rng = np.random.RandomState(7)
+    images = jnp.asarray(rng.rand(8, 64, 256, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (8, 64, 256)).astype(np.int32))
+
+    # routing probes: count calls into the fused kernel entry points the
+    # pipeline is expected to use at this shape
+    calls = {"stack": 0, "packed": 0}
+    real_stack, real_packed = inf.nb1d_stack_infer, inf.nb1d_infer_packed
+
+    def probe_stack(*a, **kw):
+        calls["stack"] += 1
+        return real_stack(*a, **kw)
+
+    def probe_packed(*a, **kw):
+        calls["packed"] += 1
+        return real_packed(*a, **kw)
+
+    inf.nb1d_stack_infer = probe_stack
+    inf.nb1d_infer_packed = probe_packed
+    try:
+        preds_xla = build_fast_infer(params, state, dtype=jnp.float32,
+                                     use_pallas=False,
+                                     preds_only=True)(images)
+        infer1 = build_fast_infer(params, state, dtype=jnp.float32,
+                                  use_pallas=True, interpret=True,
+                                  preds_only=True)
+        preds1 = jax.block_until_ready(infer1(images))
+        calls_1dev = dict(calls)
+        assert calls_1dev["stack"] >= 1, calls_1dev
+
+        mesh = make_mesh(8)
+        calls.update(stack=0, packed=0)
+        with spmd.pallas_mesh(mesh):
+            infer8 = build_fast_infer(params, state, dtype=jnp.float32,
+                                      use_pallas=True, interpret=True,
+                                      preds_only=True)
+            preds8 = jax.block_until_ready(
+                infer8(shard_batch(mesh, images)))
+        assert calls["stack"] >= calls_1dev["stack"], (calls, calls_1dev)
+        assert calls["packed"] >= calls_1dev["packed"], (calls, calls_1dev)
+    finally:
+        inf.nb1d_stack_infer = real_stack
+        inf.nb1d_infer_packed = real_packed
+
+    # per-image kernels: sharding the batch must not change a single pixel
+    np.testing.assert_array_equal(np.asarray(preds8), np.asarray(preds1))
+    agree = (np.asarray(preds1) == np.asarray(preds_xla)).mean()
+    assert agree > 0.999, agree
+
+    # the eval loop's metric accumulation (iouEval.addBatch — SURVEY.md
+    # §2a row 10) over sharded preds/labels == single-device
+    ev1, ev8 = IouEval(20), IouEval(20)
+    ev1.add_batch(preds1, labels)
+    with mesh:
+        ev8.add_batch(preds8, shard_batch(mesh, labels))
+    np.testing.assert_allclose(np.asarray(ev8.cm), np.asarray(ev1.cm),
+                               rtol=0, atol=0)
+    miou1, _ = ev1.get_iou()
+    miou8, _ = ev8.get_iou()
+    assert miou1 == miou8
+
+
 def test_sharded_2d_dcn_mesh_matches_single():
     """Multi-host growth: a (dcn=2, data=4) mesh — the TPU-pod pattern
     where the outer axis crosses hosts over DCN — must reproduce the
