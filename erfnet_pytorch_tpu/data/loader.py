@@ -46,11 +46,25 @@ class DataLoader:
                  prefetch: int = 2, seed: int = 0,
                  sharding=None, pad_final: bool = False,
                  pad_to: Optional[int] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto",
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         """backend: "pil" (python thread pool calling dataset.__getitem__),
         "native" (C++ decode+resize pool; requires the dataset to expose
         sample_paths()/native_size), or "auto" (native when both the library
-        and the dataset support it)."""
+        and the dataset support it).
+
+        Multi-host DP (``process_count > 1``, default from
+        ``jax.process_count()``): ``batch_size`` stays the GLOBAL batch;
+        every host runs the same shuffle stream (same ``seed``) and this
+        loader decodes only the ``process_index``-th contiguous block of
+        each (padded) global batch — the block that lands on this host's
+        chips under ``parallel.mesh.batch_sharding`` for meshes built from
+        ``jax.devices()`` order (make_mesh / make_mesh_2d).  With a
+        ``sharding``, batches are assembled into GLOBAL jax.Arrays via
+        ``jax.make_array_from_process_local_data``; ``n_valid`` stays the
+        global count, so the trainer's valid-mask/padding math is
+        unchanged.  ``rels`` contain only this host's filenames."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -61,6 +75,17 @@ class DataLoader:
         self.sharding = sharding
         self.pad_final = pad_final
         self.pad_to = pad_to
+        self.process_index = (jax.process_index() if process_index is None
+                              else int(process_index))
+        self.process_count = (jax.process_count() if process_count is None
+                              else int(process_count))
+        if self.process_count > 1 and not (self.pad_to or self.pad_final
+                                           or self.drop_last):
+            # a ragged final batch cannot split evenly across hosts; the
+            # padded-global contract needs a fixed row target
+            raise ValueError(
+                "process_count > 1 requires pad_to, pad_final or drop_last "
+                "so every global batch splits evenly across hosts")
         self._epoch = 0
         self._native = None
         if backend in ("auto", "native"):
@@ -119,6 +144,28 @@ class DataLoader:
         labels = np.concatenate([labels, pad_lab])
         return images, labels
 
+    def _local_block(self, idx):
+        """(load_idx, n_pad): dataset indices this host must decode for the
+        current global batch, plus how many of the trailing loaded rows are
+        the PAD SOURCE (the global batch's last valid sample — the same row
+        the single-host ``_pad`` repeats, so locals concatenate bit-equal
+        to the single-host padded batch; pad labels become VOID)."""
+        n_valid = len(idx)
+        G = self._pad_target(n_valid)
+        pc, pi = self.process_count, self.process_index
+        if G % pc:
+            raise ValueError(
+                f"padded global batch of {G} rows does not split across "
+                f"{pc} hosts; choose pad_to/batch_size accordingly")
+        Gl = G // pc
+        lo, hi = pi * Gl, min((pi + 1) * Gl, n_valid)
+        local = idx[lo:hi] if lo < n_valid else idx[:0]
+        n_pad = Gl - len(local)
+        if n_pad:
+            local = np.concatenate(
+                [local, np.repeat(idx[-1:], n_pad)]).astype(idx.dtype)
+        return local, n_pad
+
     def __iter__(self) -> Iterator:
         # snapshot per-iterator state: concurrent iterators get distinct
         # epochs (shuffle streams) and never share a pool or queue
@@ -128,6 +175,10 @@ class DataLoader:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
         def assemble(idx):
+            n_valid = len(idx)  # GLOBAL valid count (multi-host: summed)
+            n_pad_local = None
+            if self.process_count > 1:
+                idx, n_pad_local = self._local_block(idx)
             if self._native is not None:
                 h, w = self.dataset.native_size
                 pairs = [self.dataset.sample_paths(i) for i in idx]
@@ -141,8 +192,14 @@ class DataLoader:
                 images = np.stack([s[0] for s in samples])
                 labels = np.stack([s[1] for s in samples])
                 rels = [s[2] for s in samples]
-            n_valid = len(idx)
-            images, labels = self._pad(images, labels, n_valid)
+            if n_pad_local is None:
+                images, labels = self._pad(images, labels, n_valid)
+            elif n_pad_local:
+                # the trailing n_pad_local loaded rows are pad-source
+                # copies: keep their pixels, void their labels (matches
+                # the single-host _pad rows bit-for-bit)
+                labels[-n_pad_local:] = VOID_LABEL
+                rels = rels[:-n_pad_local]
             return images, labels, rels, n_valid
 
         error = []
@@ -154,8 +211,20 @@ class DataLoader:
                         return
                     images, labels, rels, n_valid = assemble(idx)
                     if self.sharding is not None:
-                        images = jax.device_put(images, self.sharding)
-                        labels = jax.device_put(labels, self.sharding)
+                        if jax.process_count() > 1:
+                            # local rows -> GLOBAL jax.Array: every host
+                            # contributes its block; downstream shapes are
+                            # the global batch (multi-host DP data path).
+                            # (Simulated multi-host tests pass explicit
+                            # process_index/count with sharding=None and
+                            # assemble via mesh.global_batch_from_locals.)
+                            images = jax.make_array_from_process_local_data(
+                                self.sharding, images)
+                            labels = jax.make_array_from_process_local_data(
+                                self.sharding, labels)
+                        else:
+                            images = jax.device_put(images, self.sharding)
+                            labels = jax.device_put(labels, self.sharding)
                     else:
                         images = jax.device_put(images)
                         labels = jax.device_put(labels)

@@ -97,8 +97,63 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch (or pytree) onto the mesh, sharded over 'data'."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Place a host batch (or pytree) onto the mesh, sharded over the
+    batch axes.
+
+    Single-process: a plain sharded ``device_put``.  Multi-host pods
+    (``jax.process_count() > 1``): ``batch`` holds this process's LOCAL
+    rows (e.g. from ``DataLoader(process_count=...)``) and the result is
+    the GLOBAL array assembled via
+    ``jax.make_array_from_process_local_data`` — every host calls this
+    with its own block and XLA sees one global batch."""
+    sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as _np
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, _np.asarray(x)), batch)
+    return jax.device_put(batch, sh)
+
+
+def global_batch_from_locals(mesh: Mesh, locals_):
+    """Assemble per-host local batches into one global sharded array — the
+    single-process twin of the multi-host ``shard_batch`` path, used to
+    TEST host-sharded loading without a pod.
+
+    ``locals_[h]`` is the pytree of rows process ``h``'s loader produced
+    (``DataLoader(process_index=h, process_count=H)``).  Host ``h`` is
+    simulated as owning the ``h``-th contiguous block of ``mesh``'s
+    flattened devices (how real pods enumerate ``jax.devices()``); each
+    local block is placed shard-by-shard on those devices exactly as
+    ``jax.make_array_from_process_local_data`` would place it, then
+    stitched with ``make_array_from_single_device_arrays``.  Asserts the
+    mesh's batch sharding really maps host blocks to host devices —
+    catching any mesh layout whose rows would NOT be host-local."""
+    H = len(locals_)
+    sh = batch_sharding(mesh)
+    flat = list(mesh.devices.flat)
+    assert len(flat) % H == 0, (len(flat), H)
+    dpp = len(flat) // H
+
+    def one(*xs):
+        xs = [np.asarray(x) for x in xs]
+        G = sum(x.shape[0] for x in xs)
+        assert G % H == 0, (G, H)
+        Gl = G // H
+        gshape = (G,) + xs[0].shape[1:]
+        imap = sh.devices_indices_map(gshape)
+        arrs = []
+        for h, x in enumerate(xs):
+            lo = h * Gl
+            for d in flat[h * dpp:(h + 1) * dpp]:
+                start, stop, _ = imap[d][0].indices(G)
+                assert lo <= start and stop <= lo + Gl, (
+                    "mesh device order does not give host-contiguous "
+                    "batch blocks", h, d, (start, stop))
+                arrs.append(jax.device_put(x[start - lo:stop - lo], d))
+        return jax.make_array_from_single_device_arrays(gshape, sh, arrs)
+
+    return jax.tree.map(one, *locals_)
 
 
 def replicate(mesh: Mesh, tree):
