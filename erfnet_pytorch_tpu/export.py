@@ -182,11 +182,24 @@ class Servable:
         if batch not in self._fns:
             exp = jax_export.deserialize(bytearray(self._blobs[batch]))
             call, spec = exp.call, self.input_dtype
-            # coercion traces INTO the cached program (jit specializes
-            # per caller dtype) — eager per-op dispatch on every predict
-            # would cost ~2.5 ms/op through a remote-relay host
-            self._fns[batch] = jax.jit(
-                lambda x: call(_coerce_to_spec(x, spec)))
+            spec_dt = jnp.dtype(spec)
+            # the big exported program compiles EXACTLY ONCE per bucket,
+            # at the spec dtype.  Off-spec frames go through a separate
+            # small jitted coercion (one fused elementwise program — a
+            # single extra dispatch, ~2.5 ms on a remote-relay host)
+            # rather than tracing the coercion INTO the bundle, which
+            # would re-specialize (multi-minute Mosaic recompile) per
+            # caller dtype.  Serving callers should still send the spec
+            # dtype for the zero-overhead path.
+            main = jax.jit(call)
+            coerce = jax.jit(lambda x: _coerce_to_spec(x, spec))
+
+            def fn(images):
+                if images.dtype != spec_dt:
+                    images = coerce(images)
+                return main(images)
+
+            self._fns[batch] = fn
         return self._fns[batch]
 
     def call(self, images):

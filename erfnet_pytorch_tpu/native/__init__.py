@@ -140,7 +140,8 @@ class NativeBatchLoader:
         encoded by C++ threads during one ctypes call, overlapping the
         next device batch.
         """
-        if not 0 <= int(level) <= 9:
+        level = int(level)  # the validated value is what reaches ctypes
+        if not 0 <= level <= 9:
             raise ValueError(f"zlib level must be 0-9, got {level}")
         np = self._np
         arr = np.ascontiguousarray(arr, np.uint8)
