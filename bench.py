@@ -13,7 +13,12 @@ fetched to host exactly once per timing segment.  Short segments keep the
 device queue bounded.
 """
 
+import argparse
+import datetime
 import json
+import os
+import subprocess
+import sys
 
 import numpy as np
 import jax
@@ -25,6 +30,41 @@ _enable_cache()
 from erfnet_pytorch_tpu.utils.timing import timed_chain as _timed_chain
 
 BASELINE_FPS = 1000.0 / 24.0  # reference eval_forwardTime: ~24 ms @ 1024x512
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_STATIC_PATH = os.path.join(_REPO, "BENCH_STATIC.json")
+# files whose change can move the two statically-stamped numbers
+_PERF_PATHS = ("erfnet_pytorch_tpu/ops", "erfnet_pytorch_tpu/inference.py",
+               "erfnet_pytorch_tpu/streaming.py", "erfnet_pytorch_tpu/models",
+               "erfnet_pytorch_tpu/parallel")
+
+
+def _git(*args):
+    try:
+        return subprocess.run(["git", "-C", _REPO] + list(args),
+                              capture_output=True, text=True,
+                              timeout=20).stdout.strip()
+    except Exception:
+        return ""
+
+
+def _load_static():
+    try:
+        with open(_STATIC_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _stale_since(commit: str) -> bool:
+    """True when HEAD has touched a perf-relevant path since ``commit`` —
+    the stamped value may no longer describe the shipped kernels."""
+    if not commit:
+        return True
+    changed = _git("diff", "--name-only", f"{commit}..HEAD", "--",
+                   *_PERF_PATHS)
+    dirty = _git("status", "--porcelain", "--", *_PERF_PATHS)
+    return bool(changed) or bool(dirty)
 
 
 def measure_infer(params, batch_stats, batch_size, iters=40,
@@ -118,8 +158,58 @@ def measure_imagenet(batch_size=32, iters=10):
     return batch_size / dt
 
 
+def measure_latency_b1(params, batch_stats, chain=16, iters=8):
+    """True device-side batch-1 latency: K forwards serialized inside one
+    jit via data dependency (scripts/tpu_latency_b1.py methodology)."""
+    from erfnet_pytorch_tpu.inference import build_fast_infer
+
+    infer = build_fast_infer(params, batch_stats, dtype=jnp.bfloat16,
+                             use_pallas=True, preds_only=True)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 512, 1024, 3))
+
+    @jax.jit
+    def kchain(carry, x):
+        for _ in range(chain):
+            pred = infer(x + carry * 0.0)
+            carry = (pred.sum() % 1024).astype(jnp.float32)
+        return carry
+
+    dt = _timed_chain(lambda c: kchain(c, x), jnp.float32(0), iters)
+    return dt / chain * 1e3
+
+
+def measure_streaming(params, batch_stats, batch=64, iters=8):
+    """Device-side 1024x2048 color-pipeline ms/img (scripts/
+    tpu_streaming_bench.py --device-only methodology).  The executable
+    exceeds the persistent-cache cap, so this recompiles ~4 min."""
+    from erfnet_pytorch_tpu.streaming import StreamingSegmenter
+
+    seg = StreamingSegmenter(params, batch_stats, dtype=jnp.bfloat16,
+                             output="color")
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, 1024, 2048, 3).astype(np.float32))
+
+    @jax.jit
+    def dstep(carry, images):
+        out = seg._step(images + carry * 0)
+        return (out.astype(jnp.int32).sum() % 1024).astype(jnp.float32)
+
+    dt = _timed_chain(lambda c: dstep(c, images), jnp.float32(0), iters,
+                      seg=4)
+    return dt / batch * 1e3
+
+
 def main():
     from erfnet_pytorch_tpu.models import erfnet
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--full", action="store_true",
+                    help="re-measure the statically-stamped extras "
+                         "(batch-1 device latency; streaming 1024x2048 — "
+                         "accepts the ~4 min streaming recompile) and "
+                         "refresh BENCH_STATIC.json with HEAD provenance")
+    ap.add_argument("--streaming-batch", type=int, default=64)
+    args = ap.parse_args()
 
     params, batch_stats = erfnet.init(jax.random.PRNGKey(0), 20)
     infer_b1 = measure_infer(params, batch_stats, 1, iters=30)
@@ -137,6 +227,42 @@ def main():
     train_b6 = measure_train(6, iters=10)
     imagenet_b32 = measure_imagenet(32, iters=10)
 
+    # statically-stamped extras: values measured by dedicated scripts with
+    # provenance (commit/date) in BENCH_STATIC.json; default runs reuse
+    # them (the streaming executable alone recompiles ~4 min), --full
+    # re-measures and refreshes the stamps at HEAD
+    static = _load_static()
+    if args.full:
+        lat = measure_latency_b1(params, batch_stats)
+        stream = measure_streaming(params, batch_stats,
+                                   batch=args.streaming_batch)
+        head = _git("rev-parse", "--short", "HEAD") or "unknown"
+        today = datetime.date.today().isoformat()
+        static = {
+            "latency_batch1_device_ms_per_img": {
+                "value": round(lat, 3), "commit": head, "date": today,
+                "how": "bench.py --full (16 forwards chained in one jit)"},
+            "streaming_1024x2048_device_ms_per_img": {
+                "value": round(stream, 3), "commit": head, "date": today,
+                "how": f"bench.py --full (device-only carry chain, "
+                       f"batch {args.streaming_batch})"},
+        }
+        with open(_STATIC_PATH, "w") as f:
+            json.dump(static, f, indent=1)
+            f.write("\n")
+
+    static_extras = {}
+    for key, entry in static.items():
+        stale = False if args.full else _stale_since(entry.get("commit", ""))
+        static_extras[key] = entry.get("value")
+        static_extras[key + "_measured_at"] = (
+            f"{entry.get('commit', '?')} ({entry.get('date', '?')})")
+        if stale:
+            static_extras[key + "_stale"] = True
+            print(f"bench.py: WARNING — perf-relevant paths changed since "
+                  f"{key} was measured at {entry.get('commit')}; rerun "
+                  f"`python bench.py --full` to refresh", file=sys.stderr)
+
     value = max(infer_b8, infer_b16, infer_b32, infer_b128)
     print(json.dumps({
         "metric": "cityscapes_512x1024_inference_images_per_sec_per_chip",
@@ -152,17 +278,11 @@ def main():
             "train_images_per_sec_batch6": round(train_b6, 2),
             "imagenet224_train_images_per_sec_batch32": round(imagenet_b32,
                                                               2),
-            # true device-side batch-1 forward latency (K-chained inside
-            # one jit; scripts/tpu_latency_b1.py, measured 2026-08-19):
-            # the single-dispatch wall adds ~2.96 ms of tunnel RTT bubble
-            "latency_batch1_device_ms_per_img": 0.854,
-            # streaming 1024x2048 full color pipeline, device-side
-            # (scripts/tpu_streaming_bench.py --device-only, 2026-08-19):
-            # batch-64 asymptote of the batch curve (4.7 @8, 4.41 @16,
-            # 4.08 @32, 3.99 @48); not re-measured per bench run because
-            # its executable exceeds the persistent-cache size cap and
-            # would recompile ~240 s through the tunnel every time
-            "streaming_1024x2048_device_ms_per_img": 3.95,
+            # provenance-stamped extras (BENCH_STATIC.json; see --full):
+            # batch-1 device latency (the single-dispatch wall adds ~3 ms
+            # of tunnel RTT bubble) and the streaming 1024x2048 device-
+            # side color pipeline (batch-64 asymptote)
+            **static_extras,
             "device": jax.devices()[0].device_kind,
             "dtype": "bfloat16",
             "baseline": "reference eval_forwardTime ~24ms/img (Titan X, "
