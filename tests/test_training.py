@@ -353,6 +353,29 @@ def test_spatial_sharded_inference_matches_single_device():
     assert pred.shape == (1, 128, 256)
 
 
+@pytest.mark.slow
+def test_spatial_sharded_inference_1024x2048():
+    """CP-analog at the REAL streaming shape: an 8-way H-shard of a
+    1024-row frame leaves 16 rows/device at 1/8 resolution, so the d=16
+    dilated blocks' 17-row halos force MULTI-HOP exchanges — the regime
+    the 128-row smoke above never reaches (see parallel/spatial.py's
+    scope note for the receptive-field arithmetic)."""
+    from erfnet_pytorch_tpu.parallel.spatial import make_spatial_infer
+    from erfnet_pytorch_tpu.models import erfnet as _erfnet
+
+    params, state = _erfnet.init(jax.random.PRNGKey(0), 20)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 1024, 2048, 3))
+    ref, _ = _erfnet.apply(params, state, x, train=False)
+    ref_pred = np.argmax(np.asarray(ref), -1)
+    mesh = make_mesh(8)
+    infer = make_spatial_infer(params, state, mesh)
+    logits, pred = infer(jax.device_put(x))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    agree = (np.asarray(pred) == ref_pred).mean()
+    assert agree > 0.9999, agree
+
+
 def test_partial_load_semantics():
     """load_my_state_dict contract: matching paths/shapes copied, the rest
     kept, tolerant of missing subtrees."""
