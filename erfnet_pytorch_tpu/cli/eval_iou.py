@@ -48,7 +48,7 @@ def build_parser():
                    help="one-command mIoU parity gate: force the exact "
                         "reference protocol (512x1024 val, Resize bilinear "
                         "/ nearest+Relabel, ignore-19), then print a "
-                        "PASS/FAIL verdict vs the published 72.20% +-0.3 "
+                        "PASS/FAIL verdict vs the published 72.20%% +-0.3 "
                         "(reference README.md:~60); exits 1 on FAIL")
     p.add_argument("--parity-target", type=float, default=72.20,
                    help="published mIoU %% to compare against in --parity")
