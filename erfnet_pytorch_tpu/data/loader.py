@@ -113,6 +113,14 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int):
+        """Pin the NEXT ``__iter__``'s shuffle stream to ``epoch`` (the
+        torch DistributedSampler convention).  The trainer drives this
+        from the training epoch so a resumed run replays the exact
+        per-epoch data order of the uninterrupted one — bit-equal resume
+        (and multi-host loaders stay aligned across processes)."""
+        self._epoch = int(epoch) - 1
+
     def _batch_indices(self, epoch: int):
         n = len(self.dataset)
         order = np.arange(n)

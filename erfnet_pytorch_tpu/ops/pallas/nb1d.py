@@ -89,13 +89,38 @@ def _taps_h(x2d, w, d, W, relu, bias):
     return jax.nn.relu(out) if relu else out
 
 
-def _taps_w(x, w, d, H, W, C, relu, bias):
-    """3-tap conv along W on the (H, W, C) map."""
+def _taps_w(x, w, d, H, W, C, relu, bias, thr=0):
+    """3-tap conv along W on the (H, W, C) map.
+
+    thr > 0 (packed layouts only): MERGE the two side-tap matmuls into
+    one.  The packed side matrices have DISJOINT nonzero K-row blocks
+    whenever the unpacked dilation du satisfies 2*du <= p (all shipped
+    C=64/C=16 blocks are du=1): w[2] (the +s tap) reads only input slots
+    0..du-1 (lanes < thr = du*Cc) and w[0] (the -s tap) only slots
+    p-du..p-1 — so one lane-iota select builds an input whose low lanes
+    come from the back-shifted map and high lanes from the
+    forward-shifted map, and ONE matmul against (w[0] + w[2]) computes
+    both side contributions: 3 -> 2 MXU passes per W-conv, a 1/6 MAC
+    cut for the whole 12-matmul packed block (the H-convs' kron(I_p, W)
+    structure is at its density floor: slot-preserving K rows can only
+    ever feed their own slot's 1/p of the output lanes, so no lane
+    shuffle can densify them — any shuffle is itself a matmul)."""
     flat = x.reshape(H * W, C)
     m1 = jnp.dot(flat, w[1], preferred_element_type=jnp.float32).reshape(
         H, W, C)
     if d >= W:  # dilation exceeds the map: side taps all-zero
         out = m1 + bias
+        return jax.nn.relu(out) if relu else out
+    if thr:
+        zx = jnp.zeros((H, d, C), x.dtype)
+        xa = jnp.concatenate([zx, x[:, :-d]], axis=1)   # w[0]'s source
+        xb = jnp.concatenate([x[:, d:], zx], axis=1)    # w[2]'s source
+        lane = jax.lax.broadcasted_iota(jnp.int32, (H, W, C), 2)
+        sel = jnp.where(lane < thr, xb, xa)
+        side = jnp.dot(sel.reshape(H * W, C),
+                       (w[0] + w[2]).astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        out = m1 + side.reshape(H, W, C) + bias
         return jax.nn.relu(out) if relu else out
     m0 = jnp.dot(flat, w[0], preferred_element_type=jnp.float32).reshape(
         H, W, C)
@@ -110,31 +135,34 @@ def _taps_w(x, w, d, H, W, C, relu, bias):
 
 def _nb1d_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref, *,
                  s1: int, s2: int, s3: int, s4: int,
-                 H: int, W: int, C: int):
+                 H: int, W: int, C: int, thr2: int = 0, thr4: int = 0):
     """Four 3-tap convs with static shift amounts: s1/s3 along H (rows),
     s2/s4 along W.  Unpacked blocks use (1, 1, d, d); space-to-depth packed
-    blocks use the block-shift steps from ops/packed.py."""
+    blocks use the block-shift steps from ops/packed.py.  thr2/thr4 > 0
+    engage the merged-side-matmul W-convs (see _taps_w)."""
     x = x_ref[0]                                   # (H, W, C)
     xf = x.reshape(H * W, C)
     t = _taps_h(xf, w1[:], s1, W, True, b1[:])       # conv3x1_1 + ReLU
     t = _taps_w(t.reshape(H, W, C).astype(x.dtype), w2[:], s2, H, W, C,
-                True, b2[:])
+                True, b2[:], thr=thr2)
     t = _taps_h(t.reshape(H * W, C).astype(x.dtype), w3[:], s3, W, True,
                 b3[:])
     t = _taps_w(t.reshape(H, W, C).astype(x.dtype), w4[:], s4, H, W, C,
-                False, b4[:])
+                False, b4[:], thr=thr4)
     out_ref[0] = jax.nn.relu(t + x.astype(jnp.float32)).astype(out_ref.dtype)
 
 
-def _nb1d_call(x, fused, *, shifts, interpret):
+def _nb1d_call(x, fused, *, shifts, interpret, thrs=(0, 0)):
     s1, s2, s3, s4 = shifts
+    thr2, thr4 = thrs
 
     def call(x, w1, b1, w2, b2, w3, b3, w4, b4):
         # shapes read INSIDE the (possible) shard_map body: under a
         # registered DP mesh the batch dim here is the per-shard one
         B, H, W, C = x.shape
         kernel = functools.partial(_nb1d_kernel, s1=s1, s2=s2, s3=s3,
-                                   s4=s4, H=H, W=W, C=C)
+                                   s4=s4, H=H, W=W, C=C, thr2=thr2,
+                                   thr4=thr4)
         wspec = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
         bspec = pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM)
@@ -173,6 +201,21 @@ def nb1d_infer(x, fused, *, dilated: int, interpret: bool = False):
                       interpret=interpret)
 
 
+# merged-side W-conv matmuls for packed blocks (see _taps_w docstring);
+# A/B-measured on-chip by scripts/tpu_c64_dense_ab.py
+SIDE_MERGE = True
+
+
+def _merge_thrs(p: int, c: int, dilated: int):
+    """(thr2, thr4) lane thresholds for a packed block's two W-convs.
+    conv1x3_1 is always unpacked-dilation 1; conv1x3_2 has ``dilated``.
+    The side matrices' K-row blocks are disjoint iff 2*du <= p."""
+    if not SIDE_MERGE or p < 2:
+        return (0, 0)
+    return (c if 2 <= p else 0,
+            dilated * c if 2 * dilated <= p else 0)
+
+
 @spmd.mesh_keyed_jit(static_argnames=("p", "dilated", "s2", "s4",
                                       "interpret"))
 def nb1d_infer_packed(x, packed_w, *, p: int, dilated: int, s2: int,
@@ -183,7 +226,7 @@ def nb1d_infer_packed(x, packed_w, *, p: int, dilated: int, s2: int,
     B, H, W, C = x.shape
     X = x.reshape(B, H, W // p, p * C)
     out = _nb1d_call(X, packed_w, shifts=(1, s2, dilated, s4),
-                     interpret=interpret)
+                     interpret=interpret, thrs=_merge_thrs(p, C, dilated))
     return out.reshape(B, H, W, C)
 
 
@@ -266,7 +309,7 @@ def _blocked_rows(H, W_elems, halo, max_elems):
 
 def _nb1d_blocked_kernel(x_hbm, w1, b1, w2, b2, w3, b3, w4, b4, out_ref,
                          scratch, sem, *, s1, s2, s3, s4, R, Rw, halo,
-                         H, W, C):
+                         H, W, C, thr2=0, thr4=0):
     """One program = one (image, h-block): DMA the CLAMPED overlapping
     window [w_s, w_s + Rw) from HBM, run the whole 4-conv block on it, and
     write the R kept rows.  Row correctness argument is `_run_h_chunked`'s:
@@ -286,19 +329,21 @@ def _nb1d_blocked_kernel(x_hbm, w1, b1, w2, b2, w3, b3, w4, b4, out_ref,
     xf = x.reshape(Rw * W, C)
     t = _taps_h(xf, w1[:], s1, W, True, b1[:])
     t = _taps_w(t.reshape(Rw, W, C).astype(x.dtype), w2[:], s2, Rw, W, C,
-                True, b2[:])
+                True, b2[:], thr=thr2)
     t = _taps_h(t.reshape(Rw * W, C).astype(x.dtype), w3[:], s3, W, True,
                 b3[:])
     t = _taps_w(t.reshape(Rw, W, C).astype(x.dtype), w4[:], s4, Rw, W, C,
-                False, b4[:])
+                False, b4[:], thr=thr4)
     y = jax.nn.relu(t + x.astype(jnp.float32)).astype(out_ref.dtype)
     # x is dead; reuse the scratch window for the dynamic-offset row read
     scratch[:] = y
     out_ref[0] = scratch[pl.ds(s - w_s, R)]
 
 
-def _nb1d_blocked_call(x, fused, *, shifts, R, halo, interpret):
+def _nb1d_blocked_call(x, fused, *, shifts, R, halo, interpret,
+                       thrs=(0, 0)):
     s1, s2, s3, s4 = shifts
+    thr2, thr4 = thrs
 
     def call(x, w1, b1, w2, b2, w3, b3, w4, b4):
         # per-shard batch under a registered DP mesh (H/W/C are invariant)
@@ -307,7 +352,7 @@ def _nb1d_blocked_call(x, fused, *, shifts, R, halo, interpret):
         Rw = min(H, R + 2 * halo)
         kernel = functools.partial(_nb1d_blocked_kernel, s1=s1, s2=s2,
                                    s3=s3, s4=s4, R=R, Rw=Rw, halo=halo,
-                                   H=H, W=W, C=C)
+                                   H=H, W=W, C=C, thr2=thr2, thr4=thr4)
         wspec = pl.BlockSpec((3, C, C), lambda b, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
         bspec = pl.BlockSpec((C,), lambda b, j: (0,),
@@ -368,7 +413,8 @@ def nb1d_infer_packed_blocked(x, packed_w, *, p: int, dilated: int, s2: int,
     R = _blocked_rows(H, (W // p) * p * C, halo, max_elems)
     assert R, (x.shape, p, dilated)
     out = _nb1d_blocked_call(X, packed_w, shifts=(1, s2, dilated, s4),
-                             R=R, halo=halo, interpret=interpret)
+                             R=R, halo=halo, interpret=interpret,
+                             thrs=_merge_thrs(p, C, dilated))
     return out.reshape(B, H, W, C)
 
 

@@ -201,6 +201,11 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
     group_im, group_lb, group_va, group_n = [], [], [], 0
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         log(f"----- TRAINING - EPOCH {epoch} -----")
+        # pin the shuffle stream to the TRAINING epoch (not the loader's
+        # iteration count): a resumed run then replays the uninterrupted
+        # run's exact data order — resume is bit-equal, not just "keeps
+        # training" (reference --resume restarts the torch RNG instead)
+        dl_train.set_epoch(epoch)
         lr = optim.poly_lr(cfg.lr, epoch - 1, cfg.num_epochs)
         fts = fts._replace(opt_state=optim.set_learning_rate(fts.opt_state,
                                                              lr))

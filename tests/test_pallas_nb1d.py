@@ -154,6 +154,35 @@ def test_nb1d_packed_blocked_matches_whole_map():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.parametrize("c,p", [(64, 2), (16, 8)])
+def test_nb1d_packed_side_merge_matches_unmerged(c, p):
+    """Merged-side-matmul W-convs (_taps_w thr>0: one lane-iota select +
+    one matmul against w0+w2 replaces both side matmuls — valid because
+    the packed side matrices' K-row blocks are disjoint for 2*du <= p)
+    must equal the 3-matmul form EXACTLY: the same f32 products occur,
+    zero rows contribute exact zeros."""
+    from erfnet_pytorch_tpu.ops.pallas import nb1d as N
+    from erfnet_pytorch_tpu.ops.packed import pack_nb1d_for_pallas
+    from erfnet_pytorch_tpu.models.erfnet import init_non_bottleneck_1d
+
+    params, state = _block(c, seed=3)
+    fused = N.fuse_nb1d_params(params, state)
+    weights, s2, s4 = pack_nb1d_for_pallas(fused, p, 1)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 8 * p, c))
+    X = x.reshape(2, 16, 8, p * c)
+    thrs = N._merge_thrs(p, c, 1)
+    assert thrs == (c, c)
+    # a conv whose dilation crosses more than half the packed slots can't
+    # merge (side K-rows overlap): the gate must refuse for conv4 while
+    # conv2 (always du=1) stays merged
+    assert N._merge_thrs(p, c, p) == (c, 0)
+    base = N._nb1d_call(X, weights, shifts=(1, s2, 1, s4), interpret=True,
+                        thrs=(0, 0))
+    merged = N._nb1d_call(X, weights, shifts=(1, s2, 1, s4),
+                          interpret=True, thrs=thrs)
+    np.testing.assert_array_equal(np.asarray(merged), np.asarray(base))
+
+
 def test_nb1d_stack_infer_packed_matches_blockwise():
     """One packed multi-block kernel == the per-block packed kernels
     (exact: same weights, same per-block dtype casts)."""

@@ -54,6 +54,49 @@ def test_two_stage_training_artifacts_and_resume(fake_cityscapes, tmp_path):
     assert len(log.strip().splitlines()) == 4  # one more epoch appended
 
 
+def test_resume_is_bit_equal_to_uninterrupted(fake_cityscapes, tmp_path):
+    """Kill a 3-epoch run at the start of epoch 3, resume it, and demand
+    the final parameters match the uninterrupted run BITWISE.  Possible
+    only because resume restores the step counter (RNG stream) AND the
+    trainer pins the loader's shuffle stream to the training epoch
+    (DataLoader.set_epoch) — the reference's --resume restarts the torch
+    RNG and reshuffles instead."""
+    cfg_a = _cfg(fake_cityscapes, tmp_path, num_epochs=3,
+                 savedir=str(tmp_path / "full"))
+    ts_full = train_stage(cfg_a, enc=False)
+
+    class _Kill(Exception):
+        pass
+
+    def killer(msg):
+        if "EPOCH 3" in msg and "TRAINING" in msg:
+            raise _Kill
+
+    cfg_b = _cfg(fake_cityscapes, tmp_path, num_epochs=3,
+                 savedir=str(tmp_path / "killed"), log_fn=killer)
+    try:
+        train_stage(cfg_b, enc=False)
+        assert False, "killer never fired"
+    except _Kill:
+        pass
+    cfg_c = _cfg(fake_cityscapes, tmp_path, num_epochs=3,
+                 savedir=str(tmp_path / "killed"), resume=True)
+    ts_res = train_stage(cfg_c, enc=False)
+
+    import jax
+    flat_full = jax.tree_util.tree_leaves_with_path(ts_full.params)
+    flat_res = dict(jax.tree_util.tree_leaves_with_path(ts_res.params))
+    for path, leaf in flat_full:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_res[path]),
+            err_msg=f"resume diverges at {path}")
+    # BN running stats too
+    a = jax.tree_util.tree_leaves(ts_full.batch_stats)
+    b = jax.tree_util.tree_leaves(ts_res.batch_stats)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_eval_cli_end_to_end(fake_cityscapes, tmp_path, capsys):
     # quick 1-epoch decoder-only training to produce weights
     cfg = _cfg(fake_cityscapes, tmp_path, num_epochs=1)
