@@ -330,6 +330,14 @@ def _bn_packed_coeffs_from_sums(s1, s2, n, bn_params, bn_state, *, p,
     return (jnp.tile(inv, t), jnp.tile(bias - mean * inv, t)), new_state
 
 
+def _merge_thrw(p: int, C: int, du: int) -> int:
+    """Side-merge lane threshold for a packed W conv (see
+    ops/pallas/nb1d_train.py:_conv3_w thr / nb1d.py:_taps_w): the two
+    side-tap matrices' K-row blocks are disjoint iff 2*du <= p, letting
+    the kernels run them as ONE matmul.  0 disables the merge."""
+    return du * C if p >= 2 and 2 * du <= p else 0
+
+
 def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
                             train, rng, bn_eps, valid=None):
     """One NB1d block on an ALREADY-PACKED (B, H, Wb, pC) tensor.
@@ -354,7 +362,7 @@ def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
         ww2, s2 = stack_taps_w(w3("conv1x3_1"), p, 1)
         t, s1a, s1b = fused_pair_stats(
             X, stack_taps_h(w3("conv3x1_1"), p), tile("conv3x1_1"), ww2,
-            tile("conv1x3_1"), sh=1, sw=s2)
+            tile("conv1x3_1"), sh=1, sw=s2, thrw=_merge_thrw(p, C, 1))
         # BN1 per-row stats come OUT of the kernel; only the tiny masked
         # row-sum + (pC,) coeff math runs in XLA, and the affine + relu
         # fold into the second pair kernel's lead stage (full map never
@@ -365,7 +373,8 @@ def _nb1d_train_packed_core(params, state, X, *, p, C, dilated, dropprob,
         ww4, s4 = stack_taps_w(w3("conv1x3_2"), p, dilated)
         t, s2a, s2b = fused_pair_affine_stats(
             t, a1, b1, stack_taps_h(w3("conv3x1_2"), p), tile("conv3x1_2"),
-            ww4, tile("conv1x3_2"), sh=dilated, sw=s4)
+            ww4, tile("conv1x3_2"), sh=dilated, sw=s4,
+            thrw=_merge_thrw(p, C, dilated))
         (a2, b2), bn2s = _bn_packed_coeffs_from_sums(
             *stat_sums_from_rows(s2a, s2b, n_img, valid),
             params["bn2"], state["bn2"], p=p, eps=bn_eps)
@@ -457,12 +466,13 @@ def _packed_fused_carry_run(params_list, state_list, X, *, p, C, dils,
         ww2, s2 = stack_taps_w(w3("conv1x3_1"), p, 1)
         if pending is None:
             z1, s1a, s1b = fused_pair_stats(X, wh1, tile("conv3x1_1"), ww2,
-                                            tile("conv1x3_1"), sh=1, sw=s2)
+                                            tile("conv1x3_1"), sh=1, sw=s2,
+                                            thrw=_merge_thrw(p, C, 1))
             y_in = X
         else:
             z1, y_in, s1a, s1b = fused_pair_epi_stats(
                 *pending, wh1, tile("conv3x1_1"), ww2, tile("conv1x3_1"),
-                sh=1, sw=s2)
+                sh=1, sw=s2, thrw=_merge_thrw(p, C, 1))
         # per-row batch statistics come OUT of the kernels; XLA runs only
         # the tiny masked row-sum (pad-row-exact, batch-sharded rows sum
         # via the jit-inserted collective) + the (pC,) coeff math
@@ -472,7 +482,8 @@ def _packed_fused_carry_run(params_list, state_list, X, *, p, C, dils,
         ww4, s4 = stack_taps_w(w3("conv1x3_2"), p, d)
         t, s2a, s2b = fused_pair_affine_stats(
             z1, a1, b1, stack_taps_h(w3("conv3x1_2"), p), tile("conv3x1_2"),
-            ww4, tile("conv1x3_2"), sh=d, sw=s4)
+            ww4, tile("conv1x3_2"), sh=d, sw=s4,
+            thrw=_merge_thrw(p, C, d))
         (a2, b2), bn2s = _bn_packed_coeffs_from_sums(
             *stat_sums_from_rows(s2a, s2b, n_img, valid),
             params["bn2"], state["bn2"], p=p, eps=bn_eps)

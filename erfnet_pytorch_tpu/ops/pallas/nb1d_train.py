@@ -52,6 +52,15 @@ from .stats import acc as _acc, emit_stats as _emit_stats_flat
 
 _ENABLED: Optional[bool] = None  # None = auto
 
+# Per-direction side-merge of the packed W-convs' side-tap matmuls
+# (thrw > 0; see _conv3_w).  Module CONSTANTS baked into the lru-cached
+# kernel ops at build time (flipping them mid-process without clearing
+# the _pair_op* caches replays stale programs — the A/B script clears
+# them).  Measured on v5e (TRAIN_MERGE_AB.json): see the file for the
+# shipped configuration's numbers.
+FWD_SIDE_MERGE = True
+BWD_SIDE_MERGE = True
+
 
 def fused_train_enabled() -> bool:
     if _ENABLED is None:
@@ -185,9 +194,33 @@ def _conv3_h(x2d, w3, srows: int, trans: bool = False):
     return acc
 
 
-def _conv3_w(x3d, w3, s: int, trans: bool = False):
-    """f32 (H, Wb, C) = 3-tap W conv (block shift s along Wb)."""
+def _conv3_w(x3d, w3, s: int, trans: bool = False, thr: int = 0):
+    """f32 (H, Wb, C) = 3-tap W conv (block shift s along Wb).
+
+    thr > 0 (packed stacks whose side matrices have DISJOINT nonzero
+    K-row blocks — 2*du <= p, see ops/pallas/nb1d.py:_taps_w): the two
+    side-tap matmuls merge into ONE against (w3[0] + w3[2]) on a
+    lane-iota-selected input.  The select threshold and merged matrix are
+    IDENTICAL for trans=True: transposition swaps each side matrix's
+    row/col blocks symmetrically, so w2^T occupies rows 0:thr and w0^T
+    rows pC-thr:pC — the same low-lanes-from-back-shift /
+    high-lanes-from-forward-shift split."""
     H, Wb, C = x3d.shape
+    if thr and s < Wb:
+        flat = x3d.reshape(H * Wb, C)
+        acc = _dot(flat, w3[1], trans).reshape(H, Wb, -1)
+        # the LOW-lane K block is w2's rows (non-trans) or w0's cols
+        # (trans) — both sourced from x[:, j+s]; the HIGH block is w0's
+        # rows / w2's cols, both from x[:, j-s].  (Transposition swaps
+        # the matrices' block positions AND which matrix reads which
+        # shift — the two swaps cancel, so the select is direction-free.)
+        xfwd = _bshift(x3d, s)                       # x[:, j+s]
+        xback = _bshift(x3d, -s)                     # x[:, j-s]
+        lane = jax.lax.broadcasted_iota(jnp.int32, x3d.shape, 2)
+        sel = jnp.where(lane < thr, xfwd, xback)
+        acc = acc + _dot(sel.reshape(H * Wb, C), w3[0] + w3[2],
+                         trans).reshape(H, Wb, -1)
+        return acc
     acc = None
     for k in range(3):
         q = (k - 1) * s * (-1 if trans else 1)
@@ -199,7 +232,7 @@ def _conv3_w(x3d, w3, s: int, trans: bool = False):
     return acc
 
 
-def _pair_math(x, wh, bh, ww, bw, *, sh, sw, lead_relu, a=None, b=None):
+def _pair_math(x, wh, bh, ww, bw, *, sh, sw, thrw=0, lead_relu, a=None, b=None):
     """Forward pair on one (H, Wb, C) image; returns (t1 (M,C) act-dtype,
     z (H, Wb, C) f32).  With a/b (act-dtype (C,)) the lead stage is the
     BN1 affine + relu: t0 = relu(x*a + b)."""
@@ -212,28 +245,28 @@ def _pair_math(x, wh, bh, ww, bw, *, sh, sw, lead_relu, a=None, b=None):
         t0 = x
     z1 = _conv3_h(t0.reshape(H * Wb, C), wh, sh * Wb) + bh
     t1 = jax.nn.relu(z1).astype(x.dtype)
-    z = _conv3_w(t1.reshape(H, Wb, C), ww, sw) + bw
+    z = _conv3_w(t1.reshape(H, Wb, C), ww, sw, thr=thrw) + bw
     return t1, z
 
 
-def pair_reference(x, wh, bh, ww, bw, *, sh, sw, lead_relu=False):
+def pair_reference(x, wh, bh, ww, bw, *, sh, sw, thrw=0, lead_relu=False):
     """Pure-jnp oracle for fused_pair (same math, batched via vmap)."""
     def one(img):
         whc = wh.astype(img.dtype)
         wwc = ww.astype(img.dtype)
         _, z = _pair_math(img, whc, bh.astype(jnp.float32),
                           wwc, bw.astype(jnp.float32),
-                          sh=sh, sw=sw, lead_relu=lead_relu)
+                          sh=sh, sw=sw, thrw=thrw, lead_relu=lead_relu)
         return z.astype(img.dtype)
     return jax.vmap(one)(x)
 
 
-def pair_affine_reference(x, a, b, wh, bh, ww, bw, *, sh, sw):
+def pair_affine_reference(x, a, b, wh, bh, ww, bw, *, sh, sw, thrw=0):
     """Pure-jnp oracle for fused_pair_affine."""
     def one(img):
         _, z = _pair_math(img, wh.astype(img.dtype),
                           bh.astype(jnp.float32), ww.astype(img.dtype),
-                          bw.astype(jnp.float32), sh=sh, sw=sw,
+                          bw.astype(jnp.float32), sh=sh, sw=sw, thrw=thrw,
                           lead_relu=False, a=a.astype(img.dtype),
                           b=b.astype(img.dtype))
         return z.astype(img.dtype)
@@ -244,15 +277,15 @@ def pair_affine_reference(x, a, b, wh, bh, ww, bw, *, sh, sw):
 # Kernels.
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(x_ref, wh, bh, ww, bw, z_ref, *, sh, sw, lead_relu):
+def _fwd_kernel(x_ref, wh, bh, ww, bw, z_ref, *, sh, sw, thrw=0, lead_relu):
     x = x_ref[0]
     _, z = _pair_math(x, wh[:].astype(x.dtype), bh[:].astype(jnp.float32),
                       ww[:].astype(x.dtype), bw[:].astype(jnp.float32),
-                      sh=sh, sw=sw, lead_relu=lead_relu)
+                      sh=sh, sw=sw, thrw=thrw, lead_relu=lead_relu)
     z_ref[0] = z.astype(z_ref.dtype)
 
 
-def _pair_bwd_core(t0, g, whc, wwc, bh_f32, *, sh, sw):
+def _pair_bwd_core(t0, g, whc, wwc, bh_f32, *, sh, sw, thrw=0):
     """Shared pair backward on one image given the recomputed lead
     activation t0 (H, Wb, C).  Returns (dt0 (M, C) f32, dwh, dbh, dww,
     dbw).  ReLU masks compare in f32 — Mosaic/v5e cannot cmpf packed-bf16
@@ -266,20 +299,49 @@ def _pair_bwd_core(t0, g, whc, wwc, bh_f32, *, sh, sw):
     # W-conv grads: dww[k] = bshift(t1, q_k)^T @ g; dbw = sum g
     gf = g.reshape(M, C)
     dbw = jnp.sum(gf.astype(jnp.float32), axis=0).reshape(1, C)
-    dww = []
-    for k in range(3):
-        q = (k - 1) * sw
-        if abs(q) >= Wb:
-            dww.append(jnp.zeros((C, C), jnp.float32))
-            continue
-        tk = _bshift(t1, q).reshape(M, C)
-        dww.append(jax.lax.dot_general(
-            tk, gf, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    dww = jnp.stack(dww)
+    if thrw and sw < Wb:
+        # merged side-dW: ONE (M, pC)^T@(M, pC) matmul computes both side
+        # taps' structural blocks (dww[0] lives in rows pC-thr:, dww[2]
+        # in rows 0:thr — disjoint, mirroring the weights).  Rows outside
+        # each tap's support are correlations the stacked-weight
+        # cotangent NEVER uses (stack_taps_w's einsum transpose projects
+        # them out), so they are masked to zero — callers passing thrw
+        # must build ww via stack_taps_w (the packed train path does).
+        tc = _bshift(t1, sw)                          # t1[:, j+sw]
+        tb = _bshift(t1, -sw)                         # t1[:, j-sw]
+        lane = jax.lax.broadcasted_iota(jnp.int32, t1.shape, 2)
+        # per-tap form: dww[k] = bshift(t1, (k-1)*sw)^T @ g — so dww[2]
+        # (support rows 0:thr) reads t1[:, j+sw] and dww[0] (support
+        # rows pC-thr:) reads t1[:, j-sw]; the select mirrors the
+        # forward's low-from-forward / high-from-back split
+        sel = jnp.where(lane < thrw, tc, tb)
+        merged = jax.lax.dot_general(
+            sel.reshape(M, C), gf,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+        dww0 = jnp.where(rows >= C - thrw, merged, 0.0)
+        dww2 = jnp.where(rows < thrw, merged, 0.0)
+        tk1 = t1.reshape(M, C)
+        dww1 = jax.lax.dot_general(
+            tk1, gf, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dww = jnp.stack([dww0, dww1, dww2])
+    else:
+        dww = []
+        for k in range(3):
+            q = (k - 1) * sw
+            if abs(q) >= Wb:
+                dww.append(jnp.zeros((C, C), jnp.float32))
+                continue
+            tk = _bshift(t1, q).reshape(M, C)
+            dww.append(jax.lax.dot_general(
+                tk, gf, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dww = jnp.stack(dww)
 
     # through the inter-conv ReLU
-    dt1 = _conv3_w(g, wwc, sw, trans=True)          # f32 (H, Wb, C)
+    dt1 = _conv3_w(g, wwc, sw, trans=True, thr=thrw)  # f32 (H, Wb, C)
     dz1 = jnp.where(z1.reshape(H, Wb, C) > 0, dt1, 0.0)
     dz1f = dz1.reshape(M, C)
     dbh = jnp.sum(dz1f, axis=0).reshape(1, C)
@@ -325,7 +387,7 @@ def _adjust_g(g, z_ref, gs1, gs2):
 
 
 def _bwd_kernel(x_ref, g_ref, wh, bh, ww, dx_ref, dwh_ref, dbh_ref,
-                dww_ref, dbw_ref, *, sh, sw, lead_relu):
+                dww_ref, dbw_ref, *, sh, sw, thrw=0, lead_relu):
     b = pl.program_id(0)
     x = x_ref[0]                                    # (H, Wb, C)
     g = g_ref[0]
@@ -335,7 +397,7 @@ def _bwd_kernel(x_ref, g_ref, wh, bh, ww, dx_ref, dwh_ref, dbh_ref,
     wwc = ww[:].astype(x.dtype)
     t0 = jax.nn.relu(x) if lead_relu else x
     dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
-        t0, g, whc, wwc, bh[:].astype(jnp.float32), sh=sh, sw=sw)
+        t0, g, whc, wwc, bh[:].astype(jnp.float32), sh=sh, sw=sw, thrw=thrw)
     if lead_relu:
         dt0 = jnp.where(x.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
     dx_ref[0] = dt0.reshape(H, Wb, C).astype(dx_ref.dtype)
@@ -346,18 +408,18 @@ def _bwd_kernel(x_ref, g_ref, wh, bh, ww, dx_ref, dwh_ref, dbh_ref,
     _acc(dbw_ref, dbw, first)
 
 
-def _fwd_kernel_affine(x_ref, av, bv, wh, bh, ww, bw, z_ref, *, sh, sw):
+def _fwd_kernel_affine(x_ref, av, bv, wh, bh, ww, bw, z_ref, *, sh, sw, thrw=0):
     x = x_ref[0]
     _, z = _pair_math(x, wh[:].astype(x.dtype), bh[:].astype(jnp.float32),
                       ww[:].astype(x.dtype), bw[:].astype(jnp.float32),
-                      sh=sh, sw=sw, lead_relu=False,
+                      sh=sh, sw=sw, thrw=thrw, lead_relu=False,
                       a=av[:].astype(x.dtype), b=bv[:].astype(x.dtype))
     z_ref[0] = z.astype(z_ref.dtype)
 
 
 def _bwd_kernel_affine(x_ref, g_ref, av, bv, wh, bh, ww, dx_ref, da_ref,
                        db_ref, dwh_ref, dbh_ref, dww_ref, dbw_ref, *,
-                       sh, sw):
+                       sh, sw, thrw=0):
     b = pl.program_id(0)
     x = x_ref[0]
     g = g_ref[0]
@@ -369,7 +431,7 @@ def _bwd_kernel_affine(x_ref, g_ref, av, bv, wh, bh, ww, dx_ref, da_ref,
     t0 = jax.nn.relu(pre)
     dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
         t0, g, wh[:].astype(x.dtype), ww[:].astype(x.dtype),
-        bh[:].astype(jnp.float32), sh=sh, sw=sw)
+        bh[:].astype(jnp.float32), sh=sh, sw=sw, thrw=thrw)
     dpre = jnp.where(pre.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
     da = jnp.sum(dpre * x.reshape(M, C).astype(jnp.float32),
                  axis=0).reshape(1, C)
@@ -402,11 +464,11 @@ def _bspec(C):
 _VMEM_LIMIT = 110 * 1024 * 1024
 
 
-def _fwd_call(x, wh, bh, ww, bw, *, sh, sw, lead_relu, interpret):
+def _fwd_call(x, wh, bh, ww, bw, *, sh, sw, thrw=0, lead_relu, interpret):
     def call(x, wh, bh, ww, bw):
         # shapes read INSIDE: under shard_map they are the per-shard views
         B, H, Wb, C = x.shape
-        kernel = functools.partial(_fwd_kernel, sh=sh, sw=sw,
+        kernel = functools.partial(_fwd_kernel, sh=sh, sw=sw, thrw=thrw * FWD_SIDE_MERGE,
                                    lead_relu=lead_relu)
         return pl.pallas_call(
             kernel,
@@ -429,10 +491,10 @@ def _fwd_call(x, wh, bh, ww, bw, *, sh, sw, lead_relu, interpret):
         call, (True, False, False, False, False))(x, wh, bh, ww, bw)
 
 
-def _bwd_call(x, g, wh, bh, ww, *, sh, sw, lead_relu, interpret):
+def _bwd_call(x, g, wh, bh, ww, *, sh, sw, thrw=0, lead_relu, interpret):
     def call(x, g, wh, bh, ww):
         B, H, Wb, C = x.shape
-        kernel = functools.partial(_bwd_kernel, sh=sh, sw=sw,
+        kernel = functools.partial(_bwd_kernel, sh=sh, sw=sw, thrw=thrw * BWD_SIDE_MERGE,
                                    lead_relu=lead_relu)
         acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -468,21 +530,21 @@ def _bwd_call(x, g, wh, bh, ww, *, sh, sw, lead_relu, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _pair_op(sh: int, sw: int, lead_relu: bool, interpret: bool):
+def _pair_op(sh: int, sw: int, thrw: int, lead_relu: bool, interpret: bool):
     @jax.custom_vjp
     def op(x, wh, bh, ww, bw):
-        return _fwd_call(x, wh, bh, ww, bw, sh=sh, sw=sw,
+        return _fwd_call(x, wh, bh, ww, bw, sh=sh, sw=sw, thrw=thrw,
                          lead_relu=lead_relu, interpret=interpret)
 
     def fwd(x, wh, bh, ww, bw):
-        z = _fwd_call(x, wh, bh, ww, bw, sh=sh, sw=sw,
+        z = _fwd_call(x, wh, bh, ww, bw, sh=sh, sw=sw, thrw=thrw,
                       lead_relu=lead_relu, interpret=interpret)
         return z, (x, wh, bh, ww)
 
     def bwd(res, g):
         x, wh, bh, ww = res
         dx, dwh, dbh, dww, dbw = _bwd_call(
-            x, g.astype(x.dtype), wh, bh, ww, sh=sh, sw=sw,
+            x, g.astype(x.dtype), wh, bh, ww, sh=sh, sw=sw, thrw=thrw,
             lead_relu=lead_relu, interpret=interpret)
         return (dx, dwh.astype(wh.dtype), dbh.reshape(-1).astype(bh.dtype),
                 dww.astype(ww.dtype), dbw.reshape(-1))
@@ -491,7 +553,7 @@ def _pair_op(sh: int, sw: int, lead_relu: bool, interpret: bool):
     return op
 
 
-def fused_pair(x, wh, bh, ww, bw, *, sh: int, sw: int,
+def fused_pair(x, wh, bh, ww, bw, *, sh: int, sw: int, thrw: int = 0,
                lead_relu: bool = False, interpret: Optional[bool] = None):
     """Fused factorized-conv pair with a Pallas custom VJP.
 
@@ -505,14 +567,14 @@ def fused_pair(x, wh, bh, ww, bw, *, sh: int, sw: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     dbw = bw.astype(jnp.float32)
-    return _pair_op(int(sh), int(sw), bool(lead_relu), bool(interpret))(
+    return _pair_op(int(sh), int(sw), int(thrw), bool(lead_relu), bool(interpret))(
         x, wh, bh.astype(jnp.float32), ww, dbw)
 
 
-def _fwd_call_affine(x, av, bv, wh, bh, ww, bw, *, sh, sw, interpret):
+def _fwd_call_affine(x, av, bv, wh, bh, ww, bw, *, sh, sw, thrw=0, interpret):
     def call(x, av, bv, wh, bh, ww, bw):
         B, H, Wb, C = x.shape
-        kernel = functools.partial(_fwd_kernel_affine, sh=sh, sw=sw)
+        kernel = functools.partial(_fwd_kernel_affine, sh=sh, sw=sw, thrw=thrw * FWD_SIDE_MERGE)
         return pl.pallas_call(
             kernel,
             grid=(B,),
@@ -534,10 +596,10 @@ def _fwd_call_affine(x, av, bv, wh, bh, ww, bw, *, sh, sw, interpret):
         call, (True,) + (False,) * 6)(x, av, bv, wh, bh, ww, bw)
 
 
-def _bwd_call_affine(x, g, av, bv, wh, bh, ww, *, sh, sw, interpret):
+def _bwd_call_affine(x, g, av, bv, wh, bh, ww, *, sh, sw, thrw=0, interpret):
     def call(x, g, av, bv, wh, bh, ww):
         B, H, Wb, C = x.shape
-        kernel = functools.partial(_bwd_kernel_affine, sh=sh, sw=sw)
+        kernel = functools.partial(_bwd_kernel_affine, sh=sh, sw=sw, thrw=thrw * BWD_SIDE_MERGE)
         acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
         acc_b = pl.BlockSpec((1, C), lambda b: (0, 0),
@@ -574,21 +636,21 @@ def _bwd_call_affine(x, g, av, bv, wh, bh, ww, *, sh, sw, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _pair_affine_op(sh: int, sw: int, interpret: bool):
+def _pair_affine_op(sh: int, sw: int, thrw: int, interpret: bool):
     @jax.custom_vjp
     def op(x, av, bv, wh, bh, ww, bw):
-        return _fwd_call_affine(x, av, bv, wh, bh, ww, bw, sh=sh, sw=sw,
+        return _fwd_call_affine(x, av, bv, wh, bh, ww, bw, sh=sh, sw=sw, thrw=thrw,
                                 interpret=interpret)
 
     def fwd(x, av, bv, wh, bh, ww, bw):
-        z = _fwd_call_affine(x, av, bv, wh, bh, ww, bw, sh=sh, sw=sw,
+        z = _fwd_call_affine(x, av, bv, wh, bh, ww, bw, sh=sh, sw=sw, thrw=thrw,
                              interpret=interpret)
         return z, (x, av, bv, wh, bh, ww)
 
     def bwd(res, g):
         x, av, bv, wh, bh, ww = res
         dx, da, db, dwh, dbh, dww, dbw = _bwd_call_affine(
-            x, g.astype(x.dtype), av, bv, wh, bh, ww, sh=sh, sw=sw,
+            x, g.astype(x.dtype), av, bv, wh, bh, ww, sh=sh, sw=sw, thrw=thrw,
             interpret=interpret)
         return (dx, da.reshape(-1).astype(av.dtype),
                 db.reshape(-1).astype(bv.dtype), dwh.astype(wh.dtype),
@@ -599,7 +661,7 @@ def _pair_affine_op(sh: int, sw: int, interpret: bool):
     return op
 
 
-def pair_epi_reference(t, y_res, m, a, b, wh, bh, ww, bw, *, sh, sw):
+def pair_epi_reference(t, y_res, m, a, b, wh, bh, ww, bw, *, sh, sw, thrw=0):
     """Pure-jnp oracle for fused_pair_epi.  m: (B, C) dropout mask already
     scaled to {0, 1/keep} (ones when dropout is off)."""
     def one(ti, yi, mi):
@@ -607,14 +669,14 @@ def pair_epi_reference(t, y_res, m, a, b, wh, bh, ww, bw, *, sh, sw):
         y_next = jax.nn.relu((ti * ac + bc) * mi.astype(ti.dtype) + yi)
         _, z = _pair_math(y_next, wh.astype(ti.dtype),
                           bh.astype(jnp.float32), ww.astype(ti.dtype),
-                          bw.astype(jnp.float32), sh=sh, sw=sw,
+                          bw.astype(jnp.float32), sh=sh, sw=sw, thrw=thrw,
                           lead_relu=False)
         return z.astype(ti.dtype), y_next
     return jax.vmap(one)(t, y_res, m)
 
 
 def _fwd_kernel_epi(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, bw, z_ref,
-                    yout_ref, *, sh, sw):
+                    yout_ref, *, sh, sw, thrw=0):
     t = t_ref[0]
     y_res = y_ref[0]
     ac = av[:].astype(t.dtype)
@@ -623,7 +685,7 @@ def _fwd_kernel_epi(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, bw, z_ref,
     y_next = jax.nn.relu((t * ac + bc) * m + y_res)
     _, z = _pair_math(y_next, wh[:].astype(t.dtype),
                       bh[:].astype(jnp.float32), ww[:].astype(t.dtype),
-                      bw[:].astype(jnp.float32), sh=sh, sw=sw,
+                      bw[:].astype(jnp.float32), sh=sh, sw=sw, thrw=thrw,
                       lead_relu=False)
     yout_ref[0] = y_next.astype(yout_ref.dtype)
     z_ref[0] = z.astype(z_ref.dtype)
@@ -631,7 +693,7 @@ def _fwd_kernel_epi(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, bw, z_ref,
 
 def _bwd_kernel_epi(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, gz_ref, gy_ref,
                     dt_ref, dyres_ref, da_ref, db_ref, dwh_ref, dbh_ref,
-                    dww_ref, dbw_ref, *, sh, sw):
+                    dww_ref, dbw_ref, *, sh, sw, thrw=0):
     b = pl.program_id(0)
     t = t_ref[0]
     y_res = y_ref[0]
@@ -646,7 +708,7 @@ def _bwd_kernel_epi(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, gz_ref, gy_ref,
     y_next = jax.nn.relu(pre)
     dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
         y_next, gz, wh[:].astype(t.dtype), ww[:].astype(t.dtype),
-        bh[:].astype(jnp.float32), sh=sh, sw=sw)
+        bh[:].astype(jnp.float32), sh=sh, sw=sw, thrw=thrw)
     # y_next is also an op OUTPUT (the next residual) — add its cotangent
     dt0 = dt0 + gy.reshape(M, C).astype(jnp.float32)
     dsum = jnp.where(pre.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
@@ -673,11 +735,11 @@ def _mask_spec(C):
                         memory_space=pltpu.VMEM)
 
 
-def _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw,
+def _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw, thrw=0,
                   interpret):
     def call(t, y_res, m, av, bv, wh, bh, ww, bw):
         B, H, Wb, C = t.shape
-        kernel = functools.partial(_fwd_kernel_epi, sh=sh, sw=sw)
+        kernel = functools.partial(_fwd_kernel_epi, sh=sh, sw=sw, thrw=thrw * FWD_SIDE_MERGE)
         return pl.pallas_call(
             kernel,
             grid=(B,),
@@ -702,11 +764,11 @@ def _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw,
         reduce_out=(False, False))(t, y_res, m, av, bv, wh, bh, ww, bw)
 
 
-def _bwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, gz, gy, *, sh, sw,
+def _bwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, gz, gy, *, sh, sw, thrw=0,
                   interpret):
     def call(t, y_res, m, av, bv, wh, bh, ww, gz, gy):
         B, H, Wb, C = t.shape
-        kernel = functools.partial(_bwd_kernel_epi, sh=sh, sw=sw)
+        kernel = functools.partial(_bwd_kernel_epi, sh=sh, sw=sw, thrw=thrw * BWD_SIDE_MERGE)
         acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
         acc_b = pl.BlockSpec((1, C), lambda b: (0, 0),
@@ -748,7 +810,7 @@ def _bwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, gz, gy, *, sh, sw,
 
 
 @functools.lru_cache(maxsize=None)
-def _pair_epi_op(sh: int, sw: int, interpret: bool):
+def _pair_epi_op(sh: int, sw: int, thrw: int, interpret: bool):
     @jax.custom_vjp
     def op(t, y_res, m, av, bv, wh, bh, ww, bw):
         return _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw, sh=sh,
@@ -756,7 +818,7 @@ def _pair_epi_op(sh: int, sw: int, interpret: bool):
 
     def fwd(t, y_res, m, av, bv, wh, bh, ww, bw):
         z, y_next = _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw,
-                                  sh=sh, sw=sw, interpret=interpret)
+                                  sh=sh, sw=sw, thrw=thrw, interpret=interpret)
         return (z, y_next), (t, y_res, m, av, bv, wh, bh, ww)
 
     def bwd(res, g):
@@ -764,7 +826,7 @@ def _pair_epi_op(sh: int, sw: int, interpret: bool):
         gz, gy = g
         dt, dyres, da, db, dwh, dbh, dww, dbw = _bwd_call_epi(
             t, y_res, m, av, bv, wh, bh, ww, gz.astype(t.dtype),
-            gy.astype(t.dtype), sh=sh, sw=sw, interpret=interpret)
+            gy.astype(t.dtype), sh=sh, sw=sw, thrw=thrw, interpret=interpret)
         # the dropout mask is a function of the rng only — no grad path
         return (dt, dyres, jnp.zeros_like(m),
                 da.reshape(-1).astype(av.dtype),
@@ -776,7 +838,7 @@ def _pair_epi_op(sh: int, sw: int, interpret: bool):
     return op
 
 
-def fused_pair_epi(t, y_res, m, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
+def fused_pair_epi(t, y_res, m, a, b, wh, bh, ww, bw, *, sh: int, sw: int, thrw: int = 0,
                    interpret: Optional[bool] = None):
     """fused_pair with the PREVIOUS block's epilogue folded in as the lead
     stage — the chain carry of a fused NB1d run:
@@ -793,12 +855,12 @@ def fused_pair_epi(t, y_res, m, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     m3 = m.astype(jnp.float32).reshape(m.shape[0], 1, m.shape[1])
-    return _pair_epi_op(int(sh), int(sw), bool(interpret))(
+    return _pair_epi_op(int(sh), int(sw), int(thrw), bool(interpret))(
         t, y_res, m3, a.astype(jnp.float32), b.astype(jnp.float32), wh,
         bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
 
 
-def fused_pair_affine(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
+def fused_pair_affine(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int, thrw: int = 0,
                       interpret: Optional[bool] = None):
     """fused_pair with the BN1 affine folded in as the lead stage:
 
@@ -811,7 +873,7 @@ def fused_pair_affine(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _pair_affine_op(int(sh), int(sw), bool(interpret))(
+    return _pair_affine_op(int(sh), int(sw), int(thrw), bool(interpret))(
         x, a.astype(jnp.float32), b.astype(jnp.float32), wh,
         bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
 
@@ -847,14 +909,14 @@ def _stats_shapes(B, C):
 
 
 def _fwd_kernel_st(x_ref, wh, bh, ww, bw, z_ref, s1_ref, s2_ref, *,
-                   sh, sw, lead_relu):
-    _fwd_kernel(x_ref, wh, bh, ww, bw, z_ref, sh=sh, sw=sw,
+                   sh, sw, thrw=0, lead_relu=False):
+    _fwd_kernel(x_ref, wh, bh, ww, bw, z_ref, sh=sh, sw=sw, thrw=thrw,
                 lead_relu=lead_relu)
     _emit_stats(z_ref, s1_ref, s2_ref)
 
 
 def _bwd_kernel_st(x_ref, g_ref, z_ref, gs1, gs2, wh, bh, ww, dx_ref,
-                   dwh_ref, dbh_ref, dww_ref, dbw_ref, *, sh, sw,
+                   dwh_ref, dbh_ref, dww_ref, dbw_ref, *, sh, sw, thrw=0,
                    lead_relu):
     b = pl.program_id(0)
     x = x_ref[0]
@@ -864,7 +926,7 @@ def _bwd_kernel_st(x_ref, g_ref, z_ref, gs1, gs2, wh, bh, ww, dx_ref,
     t0 = jax.nn.relu(x) if lead_relu else x
     dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
         t0, g, wh[:].astype(x.dtype), ww[:].astype(x.dtype),
-        bh[:].astype(jnp.float32), sh=sh, sw=sw)
+        bh[:].astype(jnp.float32), sh=sh, sw=sw, thrw=thrw)
     if lead_relu:
         dt0 = jnp.where(x.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
     dx_ref[0] = dt0.reshape(H, Wb, C).astype(dx_ref.dtype)
@@ -875,10 +937,10 @@ def _bwd_kernel_st(x_ref, g_ref, z_ref, gs1, gs2, wh, bh, ww, dx_ref,
     _acc(dbw_ref, dbw, first)
 
 
-def _fwd_call_st(x, wh, bh, ww, bw, *, sh, sw, lead_relu, interpret):
+def _fwd_call_st(x, wh, bh, ww, bw, *, sh, sw, thrw=0, lead_relu, interpret):
     def call(x, wh, bh, ww, bw):
         B, H, Wb, C = x.shape
-        kernel = functools.partial(_fwd_kernel_st, sh=sh, sw=sw,
+        kernel = functools.partial(_fwd_kernel_st, sh=sh, sw=sw, thrw=thrw * FWD_SIDE_MERGE,
                                    lead_relu=lead_relu)
         z, s1, s2 = pl.pallas_call(
             kernel,
@@ -904,12 +966,12 @@ def _fwd_call_st(x, wh, bh, ww, bw, *, sh, sw, lead_relu, interpret):
         reduce_out=(False, False, False))(x, wh, bh, ww, bw)
 
 
-def _bwd_call_st(x, g, z, gs1, gs2, wh, bh, ww, *, sh, sw, lead_relu,
+def _bwd_call_st(x, g, z, gs1, gs2, wh, bh, ww, *, sh, sw, thrw=0, lead_relu,
                  interpret):
     def call(x, g, z, gs1, gs2, wh, bh, ww):
         B, H, Wb, C = x.shape
         gs1, gs2 = gs1[:, None], gs2[:, None]  # (B, 1, C) for _sspec
-        kernel = functools.partial(_bwd_kernel_st, sh=sh, sw=sw,
+        kernel = functools.partial(_bwd_kernel_st, sh=sh, sw=sw, thrw=thrw * BWD_SIDE_MERGE,
                                    lead_relu=lead_relu)
         acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -946,14 +1008,14 @@ def _bwd_call_st(x, g, z, gs1, gs2, wh, bh, ww, *, sh, sw, lead_relu,
 
 
 @functools.lru_cache(maxsize=None)
-def _pair_op_st(sh: int, sw: int, lead_relu: bool, interpret: bool):
+def _pair_op_st(sh: int, sw: int, thrw: int, lead_relu: bool, interpret: bool):
     @jax.custom_vjp
     def op(x, wh, bh, ww, bw):
-        return _fwd_call_st(x, wh, bh, ww, bw, sh=sh, sw=sw,
+        return _fwd_call_st(x, wh, bh, ww, bw, sh=sh, sw=sw, thrw=thrw,
                             lead_relu=lead_relu, interpret=interpret)
 
     def fwd(x, wh, bh, ww, bw):
-        z, s1, s2 = _fwd_call_st(x, wh, bh, ww, bw, sh=sh, sw=sw,
+        z, s1, s2 = _fwd_call_st(x, wh, bh, ww, bw, sh=sh, sw=sw, thrw=thrw,
                                  lead_relu=lead_relu, interpret=interpret)
         return (z, s1, s2), (x, wh, bh, ww, z)
 
@@ -962,7 +1024,7 @@ def _pair_op_st(sh: int, sw: int, lead_relu: bool, interpret: bool):
         gz, gs1, gs2 = g
         dx, dwh, dbh, dww, dbw = _bwd_call_st(
             x, gz.astype(x.dtype), z, gs1.astype(jnp.float32),
-            gs2.astype(jnp.float32), wh, bh, ww, sh=sh, sw=sw,
+            gs2.astype(jnp.float32), wh, bh, ww, sh=sh, sw=sw, thrw=thrw,
             lead_relu=lead_relu, interpret=interpret)
         return (dx, dwh.astype(wh.dtype), dbh.reshape(-1).astype(bh.dtype),
                 dww.astype(ww.dtype), dbw.reshape(-1))
@@ -971,7 +1033,7 @@ def _pair_op_st(sh: int, sw: int, lead_relu: bool, interpret: bool):
     return op
 
 
-def fused_pair_stats(x, wh, bh, ww, bw, *, sh: int, sw: int,
+def fused_pair_stats(x, wh, bh, ww, bw, *, sh: int, sw: int, thrw: int = 0,
                      lead_relu: bool = False,
                      interpret: Optional[bool] = None):
     """fused_pair that also returns the output's PER-ROW batch statistics:
@@ -979,19 +1041,19 @@ def fused_pair_stats(x, wh, bh, ww, bw, *, sh: int, sw: int,
     following BatchNorm (reduce with ops/packed.py:stat_sums_from_rows)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _pair_op_st(int(sh), int(sw), bool(lead_relu), bool(interpret))(
+    return _pair_op_st(int(sh), int(sw), int(thrw), bool(lead_relu), bool(interpret))(
         x, wh, bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
 
 
 def _fwd_kernel_affine_st(x_ref, av, bv, wh, bh, ww, bw, z_ref, s1_ref,
-                          s2_ref, *, sh, sw):
-    _fwd_kernel_affine(x_ref, av, bv, wh, bh, ww, bw, z_ref, sh=sh, sw=sw)
+                          s2_ref, *, sh, sw, thrw=0):
+    _fwd_kernel_affine(x_ref, av, bv, wh, bh, ww, bw, z_ref, sh=sh, sw=sw, thrw=thrw)
     _emit_stats(z_ref, s1_ref, s2_ref)
 
 
 def _bwd_kernel_affine_st(x_ref, g_ref, z_ref, gs1, gs2, av, bv, wh, bh,
                           ww, dx_ref, da_ref, db_ref, dwh_ref, dbh_ref,
-                          dww_ref, dbw_ref, *, sh, sw):
+                          dww_ref, dbw_ref, *, sh, sw, thrw=0):
     b = pl.program_id(0)
     x = x_ref[0]
     g = _adjust_g(g_ref[0], z_ref, gs1, gs2)
@@ -1003,7 +1065,7 @@ def _bwd_kernel_affine_st(x_ref, g_ref, z_ref, gs1, gs2, av, bv, wh, bh,
     t0 = jax.nn.relu(pre)
     dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
         t0, g, wh[:].astype(x.dtype), ww[:].astype(x.dtype),
-        bh[:].astype(jnp.float32), sh=sh, sw=sw)
+        bh[:].astype(jnp.float32), sh=sh, sw=sw, thrw=thrw)
     dpre = jnp.where(pre.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
     da = jnp.sum(dpre * x.reshape(M, C).astype(jnp.float32),
                  axis=0).reshape(1, C)
@@ -1019,10 +1081,10 @@ def _bwd_kernel_affine_st(x_ref, g_ref, z_ref, gs1, gs2, av, bv, wh, bh,
     _acc(dbw_ref, dbw, first)
 
 
-def _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, *, sh, sw, interpret):
+def _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, *, sh, sw, thrw=0, interpret):
     def call(x, av, bv, wh, bh, ww, bw):
         B, H, Wb, C = x.shape
-        kernel = functools.partial(_fwd_kernel_affine_st, sh=sh, sw=sw)
+        kernel = functools.partial(_fwd_kernel_affine_st, sh=sh, sw=sw, thrw=thrw * FWD_SIDE_MERGE)
         z, s1, s2 = pl.pallas_call(
             kernel,
             grid=(B,),
@@ -1047,12 +1109,12 @@ def _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, *, sh, sw, interpret):
         reduce_out=(False, False, False))(x, av, bv, wh, bh, ww, bw)
 
 
-def _bwd_call_affine_st(x, g, z, gs1, gs2, av, bv, wh, bh, ww, *, sh, sw,
+def _bwd_call_affine_st(x, g, z, gs1, gs2, av, bv, wh, bh, ww, *, sh, sw, thrw=0,
                         interpret):
     def call(x, g, z, gs1, gs2, av, bv, wh, bh, ww):
         B, H, Wb, C = x.shape
         gs1, gs2 = gs1[:, None], gs2[:, None]  # (B, 1, C) for _sspec
-        kernel = functools.partial(_bwd_kernel_affine_st, sh=sh, sw=sw)
+        kernel = functools.partial(_bwd_kernel_affine_st, sh=sh, sw=sw, thrw=thrw * BWD_SIDE_MERGE)
         acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
         acc_b = pl.BlockSpec((1, C), lambda b: (0, 0),
@@ -1091,10 +1153,10 @@ def _bwd_call_affine_st(x, g, z, gs1, gs2, av, bv, wh, bh, ww, *, sh, sw,
 
 
 @functools.lru_cache(maxsize=None)
-def _pair_affine_op_st(sh: int, sw: int, interpret: bool):
+def _pair_affine_op_st(sh: int, sw: int, thrw: int, interpret: bool):
     @jax.custom_vjp
     def op(x, av, bv, wh, bh, ww, bw):
-        return _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, sh=sh, sw=sw,
+        return _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, sh=sh, sw=sw, thrw=thrw,
                                    interpret=interpret)
 
     def fwd(x, av, bv, wh, bh, ww, bw):
@@ -1107,7 +1169,7 @@ def _pair_affine_op_st(sh: int, sw: int, interpret: bool):
         gz, gs1, gs2 = g
         dx, da, db, dwh, dbh, dww, dbw = _bwd_call_affine_st(
             x, gz.astype(x.dtype), z, gs1.astype(jnp.float32),
-            gs2.astype(jnp.float32), av, bv, wh, bh, ww, sh=sh, sw=sw,
+            gs2.astype(jnp.float32), av, bv, wh, bh, ww, sh=sh, sw=sw, thrw=thrw,
             interpret=interpret)
         return (dx, da.reshape(-1).astype(av.dtype),
                 db.reshape(-1).astype(bv.dtype), dwh.astype(wh.dtype),
@@ -1118,27 +1180,27 @@ def _pair_affine_op_st(sh: int, sw: int, interpret: bool):
     return op
 
 
-def fused_pair_affine_stats(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int,
+def fused_pair_affine_stats(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int, thrw: int = 0,
                             interpret: Optional[bool] = None):
     """fused_pair_affine that also returns (z, s1, s2) batch statistics."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _pair_affine_op_st(int(sh), int(sw), bool(interpret))(
+    return _pair_affine_op_st(int(sh), int(sw), int(thrw), bool(interpret))(
         x, a.astype(jnp.float32), b.astype(jnp.float32), wh,
         bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
 
 
 def _fwd_kernel_epi_st(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, bw, z_ref,
-                       yout_ref, s1_ref, s2_ref, *, sh, sw):
+                       yout_ref, s1_ref, s2_ref, *, sh, sw, thrw=0):
     _fwd_kernel_epi(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, bw, z_ref,
-                    yout_ref, sh=sh, sw=sw)
+                    yout_ref, sh=sh, sw=sw, thrw=thrw)
     _emit_stats(z_ref, s1_ref, s2_ref)
 
 
 def _bwd_kernel_epi_st(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, gz_ref,
                        gy_ref, z_ref, gs1, gs2, dt_ref, dyres_ref, da_ref,
                        db_ref, dwh_ref, dbh_ref, dww_ref, dbw_ref, *,
-                       sh, sw):
+                       sh, sw, thrw=0):
     b = pl.program_id(0)
     t = t_ref[0]
     y_res = y_ref[0]
@@ -1153,7 +1215,7 @@ def _bwd_kernel_epi_st(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, gz_ref,
     y_next = jax.nn.relu(pre)
     dt0, dwh, dbh, dww, dbw = _pair_bwd_core(
         y_next, gz, wh[:].astype(t.dtype), ww[:].astype(t.dtype),
-        bh[:].astype(jnp.float32), sh=sh, sw=sw)
+        bh[:].astype(jnp.float32), sh=sh, sw=sw, thrw=thrw)
     dt0 = dt0 + gy.reshape(M, C).astype(jnp.float32)
     dsum = jnp.where(pre.reshape(M, C).astype(jnp.float32) > 0, dt0, 0.0)
     dyres_ref[0] = dsum.reshape(H, Wb, C).astype(dyres_ref.dtype)
@@ -1172,11 +1234,11 @@ def _bwd_kernel_epi_st(t_ref, y_ref, m_ref, av, bv, wh, bh, ww, gz_ref,
     _acc(dbw_ref, dbw, first)
 
 
-def _fwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw,
+def _fwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw, thrw=0,
                      interpret):
     def call(t, y_res, m, av, bv, wh, bh, ww, bw):
         B, H, Wb, C = t.shape
-        kernel = functools.partial(_fwd_kernel_epi_st, sh=sh, sw=sw)
+        kernel = functools.partial(_fwd_kernel_epi_st, sh=sh, sw=sw, thrw=thrw * FWD_SIDE_MERGE)
         z, y_next, s1, s2 = pl.pallas_call(
             kernel,
             grid=(B,),
@@ -1206,11 +1268,11 @@ def _fwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, bw, *, sh, sw,
 
 
 def _bwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2,
-                     *, sh, sw, interpret):
+                     *, sh, sw, thrw=0, interpret):
     def call(t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2):
         B, H, Wb, C = t.shape
         gs1, gs2 = gs1[:, None], gs2[:, None]  # (B, 1, C) for _sspec
-        kernel = functools.partial(_bwd_kernel_epi_st, sh=sh, sw=sw)
+        kernel = functools.partial(_bwd_kernel_epi_st, sh=sh, sw=sw, thrw=thrw * BWD_SIDE_MERGE)
         acc_w = pl.BlockSpec((3, C, C), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
         acc_b = pl.BlockSpec((1, C), lambda b: (0, 0),
@@ -1253,7 +1315,7 @@ def _bwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, gz, gy, z, gs1, gs2,
 
 
 @functools.lru_cache(maxsize=None)
-def _pair_epi_op_st(sh: int, sw: int, interpret: bool):
+def _pair_epi_op_st(sh: int, sw: int, thrw: int, interpret: bool):
     @jax.custom_vjp
     def op(t, y_res, m, av, bv, wh, bh, ww, bw):
         return _fwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, bw, sh=sh,
@@ -1261,7 +1323,7 @@ def _pair_epi_op_st(sh: int, sw: int, interpret: bool):
 
     def fwd(t, y_res, m, av, bv, wh, bh, ww, bw):
         z, y_next, s1, s2 = _fwd_call_epi_st(
-            t, y_res, m, av, bv, wh, bh, ww, bw, sh=sh, sw=sw,
+            t, y_res, m, av, bv, wh, bh, ww, bw, sh=sh, sw=sw, thrw=thrw,
             interpret=interpret)
         return (z, y_next, s1, s2), (t, y_res, m, av, bv, wh, bh, ww, z)
 
@@ -1271,7 +1333,7 @@ def _pair_epi_op_st(sh: int, sw: int, interpret: bool):
         dt, dyres, da, db, dwh, dbh, dww, dbw = _bwd_call_epi_st(
             t, y_res, m, av, bv, wh, bh, ww, gz.astype(t.dtype),
             gy.astype(t.dtype), z, gs1.astype(jnp.float32),
-            gs2.astype(jnp.float32), sh=sh, sw=sw, interpret=interpret)
+            gs2.astype(jnp.float32), sh=sh, sw=sw, thrw=thrw, interpret=interpret)
         return (dt, dyres, jnp.zeros_like(m),
                 da.reshape(-1).astype(av.dtype),
                 db.reshape(-1).astype(bv.dtype), dwh.astype(wh.dtype),
@@ -1283,11 +1345,12 @@ def _pair_epi_op_st(sh: int, sw: int, interpret: bool):
 
 
 def fused_pair_epi_stats(t, y_res, m, a, b, wh, bh, ww, bw, *, sh: int,
-                         sw: int, interpret: Optional[bool] = None):
+                         sw: int, thrw: int = 0,
+                         interpret: Optional[bool] = None):
     """fused_pair_epi that also returns (z, y_next, s1, s2)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     m3 = m.astype(jnp.float32).reshape(m.shape[0], 1, m.shape[1])
-    return _pair_epi_op_st(int(sh), int(sw), bool(interpret))(
+    return _pair_epi_op_st(int(sh), int(sw), int(thrw), bool(interpret))(
         t, y_res, m3, a.astype(jnp.float32), b.astype(jnp.float32), wh,
         bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
