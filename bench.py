@@ -58,8 +58,10 @@ def _load_static():
 
 def _stale_since(commit: str) -> bool:
     """True when HEAD has touched a perf-relevant path since ``commit`` —
-    the stamped value may no longer describe the shipped kernels."""
-    if not commit:
+    the stamped value may no longer describe the shipped kernels.
+    Unknown provenance (no commit, or a commit this checkout can't
+    resolve — rewritten history, shallow clone, tarball) is stale."""
+    if not commit or not _git("rev-parse", "--verify", f"{commit}^{{commit}}"):
         return True
     changed = _git("diff", "--name-only", f"{commit}..HEAD", "--",
                    *_PERF_PATHS)

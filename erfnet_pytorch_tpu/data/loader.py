@@ -79,6 +79,20 @@ class DataLoader:
                               else int(process_index))
         self.process_count = (jax.process_count() if process_count is None
                               else int(process_count))
+        if (self.process_count > 1 and sharding is not None
+                and jax.process_count() != self.process_count):
+            # with a sharding, the producer assembles GLOBAL arrays via
+            # make_array_from_process_local_data — meaningful only when
+            # the jax runtime really spans process_count processes.  A
+            # simulated host (explicit process_index/count in one
+            # process) would silently device_put its LOCAL block as the
+            # global batch; simulations must pass sharding=None and
+            # assemble via mesh.global_batch_from_locals.
+            raise ValueError(
+                f"process_count={self.process_count} with a sharding "
+                f"requires a matching multi-process jax runtime "
+                f"(jax.process_count()={jax.process_count()}); simulated "
+                f"hosts must use sharding=None")
         if self.process_count > 1 and not (self.pad_to or self.pad_final
                                            or self.drop_last):
             # a ragged final batch cannot split evenly across hosts; the

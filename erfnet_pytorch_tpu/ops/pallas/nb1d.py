@@ -207,13 +207,14 @@ SIDE_MERGE = True
 
 
 def _merge_thrs(p: int, c: int, dilated: int):
-    """(thr2, thr4) lane thresholds for a packed block's two W-convs.
-    conv1x3_1 is always unpacked-dilation 1; conv1x3_2 has ``dilated``.
-    The side matrices' K-row blocks are disjoint iff 2*du <= p."""
-    if not SIDE_MERGE or p < 2:
+    """(thr2, thr4) lane thresholds for a packed block's two W-convs
+    (conv1x3_1 is always unpacked-dilation 1; conv1x3_2 has ``dilated``).
+    The validity rule lives with the packing layout it depends on:
+    ops/packed.py:_merge_thrw."""
+    from ..packed import _merge_thrw
+    if not SIDE_MERGE:
         return (0, 0)
-    return (c if 2 <= p else 0,
-            dilated * c if 2 * dilated <= p else 0)
+    return (_merge_thrw(p, c, 1), _merge_thrw(p, c, dilated))
 
 
 @spmd.mesh_keyed_jit(static_argnames=("p", "dilated", "s2", "s4",

@@ -814,7 +814,7 @@ def _pair_epi_op(sh: int, sw: int, thrw: int, interpret: bool):
     @jax.custom_vjp
     def op(t, y_res, m, av, bv, wh, bh, ww, bw):
         return _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw, sh=sh,
-                             sw=sw, interpret=interpret)
+                             sw=sw, thrw=thrw, interpret=interpret)
 
     def fwd(t, y_res, m, av, bv, wh, bh, ww, bw):
         z, y_next = _fwd_call_epi(t, y_res, m, av, bv, wh, bh, ww, bw,
@@ -1161,7 +1161,8 @@ def _pair_affine_op_st(sh: int, sw: int, thrw: int, interpret: bool):
 
     def fwd(x, av, bv, wh, bh, ww, bw):
         z, s1, s2 = _fwd_call_affine_st(x, av, bv, wh, bh, ww, bw, sh=sh,
-                                        sw=sw, interpret=interpret)
+                                        sw=sw, thrw=thrw,
+                                        interpret=interpret)
         return (z, s1, s2), (x, av, bv, wh, bh, ww, z)
 
     def bwd(res, g):
@@ -1319,7 +1320,7 @@ def _pair_epi_op_st(sh: int, sw: int, thrw: int, interpret: bool):
     @jax.custom_vjp
     def op(t, y_res, m, av, bv, wh, bh, ww, bw):
         return _fwd_call_epi_st(t, y_res, m, av, bv, wh, bh, ww, bw, sh=sh,
-                                sw=sw, interpret=interpret)
+                                sw=sw, thrw=thrw, interpret=interpret)
 
     def fwd(t, y_res, m, av, bv, wh, bh, ww, bw):
         z, y_next, s1, s2 = _fwd_call_epi_st(

@@ -203,8 +203,13 @@ def _train_stage(cfg: TrainConfig, mesh, *, enc: bool,
         log(f"----- TRAINING - EPOCH {epoch} -----")
         # pin the shuffle stream to the TRAINING epoch (not the loader's
         # iteration count): a resumed run then replays the uninterrupted
-        # run's exact data order — resume is bit-equal, not just "keeps
-        # training" (reference --resume restarts the torch RNG instead)
+        # run's exact data order — at multi_step=1, resume is BIT-equal
+        # (reference --resume restarts the torch RNG instead; verified
+        # on-chip by scripts/tpu_train_soak.py).  At multi_step>1 the
+        # cross-epoch group carry below is NOT checkpointed: a kill with
+        # a pending <K-batch remainder drops it on resume (the same
+        # batches a stage end would drop), so resume is
+        # same-data-order but not bit-equal in that window.
         dl_train.set_epoch(epoch)
         lr = optim.poly_lr(cfg.lr, epoch - 1, cfg.num_epochs)
         fts = fts._replace(opt_state=optim.set_learning_rate(fts.opt_state,

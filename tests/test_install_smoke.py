@@ -57,6 +57,17 @@ def test_clean_checkout_install_cli_and_native_rebuild(tmp_path):
     vsite = (venv / "lib" / f"python{sys.version_info.major}."
              f"{sys.version_info.minor}" / "site-packages")
     (vsite / "_base_env.pth").write_text(base_site + "\n")
+    # force the CPU backend the way this image requires: the axon TPU
+    # plugin prepends itself to jax_platforms and IGNORES the
+    # JAX_PLATFORMS env var (CLAUDE.md), so a backend init inside any
+    # subprocess below could open a session on the fragile TPU tunnel.
+    # sitecustomize runs at interpreter start, before any script code.
+    (vsite / "sitecustomize.py").write_text(
+        "try:\n"
+        "    import jax\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n"
+        "except Exception:\n"
+        "    pass\n")
     r = _run([vpy, "-m", "pip", "install", "-e", str(co),
               "--no-build-isolation", "--no-deps", "--quiet"])
     assert r.returncode == 0, f"pip install -e failed:\n{r.stderr}"
