@@ -202,3 +202,45 @@ def test_dashboard_wire_protocol_live_server():
         assert arr.max() == 255 and arr.min() == 0
     finally:
         srv.shutdown()
+
+
+def test_bench_static_provenance_audit():
+    """bench.py's self-audit (BENCH_STATIC.json provenance): unknown or
+    unresolvable stamped commits are STALE, perf-path changes since the
+    stamp are STALE, and a clean matching state is fresh."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_test",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+
+    static = b._load_static()
+    for key in ("latency_batch1_device_ms_per_img",
+                "streaming_1024x2048_device_ms_per_img"):
+        assert key in static and "commit" in static[key], static.keys()
+
+    assert b._stale_since("") is True
+    assert b._stale_since("doesnotexist123") is True
+
+    calls = {}
+
+    def fake_git(*args):
+        calls[args[0]] = args
+        if args[0] == "rev-parse":
+            return "abc123"           # commit resolves
+        if args[0] == "diff":
+            return calls.pop("_diff", "")
+        return ""                     # clean status
+
+    real = b._git
+    b._git = fake_git
+    try:
+        assert b._stale_since("abc123") is False      # clean + resolvable
+        calls["_diff"] = "erfnet_pytorch_tpu/ops/pallas/nb1d.py"
+        assert b._stale_since("abc123") is True       # perf path changed
+    finally:
+        b._git = real

@@ -429,3 +429,15 @@ def test_fused_paths_engaged_at_benchmark_shapes():
     # packed/fused train blocks must engage at its stage shapes
     assert pair_supported((32, 56, 28, 128))    # C64 stage, W-packed p=2
     assert pair_supported((32, 28, 28, 128))    # dilated C128 stage
+
+    # the packed-tier side-merge (round 4: 1.16x/1.13x per block on-chip,
+    # C64_AB_TPU.json) must stay routed: both the inference and train
+    # thresholds derive from the one rule owner (ops/packed.py)
+    from erfnet_pytorch_tpu.ops.pallas.nb1d import _merge_thrs
+    from erfnet_pytorch_tpu.ops.packed import _merge_thrw
+    from erfnet_pytorch_tpu.ops.pallas import nb1d_train as T
+    assert _merge_thrs(2, 64, 1) == (64, 64)    # C64 tier, both W-convs
+    assert _merge_thrs(8, 16, 1) == (16, 16)    # C16 tier
+    assert _merge_thrs(1, 128, 16) == (0, 0)    # unpacked C128: no merge
+    assert _merge_thrw(2, 64, 2) == 0           # dilation crossing p/2
+    assert T.FWD_SIDE_MERGE and T.BWD_SIDE_MERGE  # train merge shipped on
