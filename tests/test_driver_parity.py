@@ -58,10 +58,10 @@ def _make_cfg(datadir, savedir, num_epochs=EPOCHS):
         log_fn=lambda *_: None)
 
 
-def _parse_log(savedir):
-    """automated_log.txt rows -> [(epoch, tr_loss, va_loss, tr_iou,
+def _parse_log(savedir, name="automated_log.txt"):
+    """automated_log rows -> [(epoch, tr_loss, va_loss, tr_iou,
     va_iou, lr_str)] — lr kept as the raw string for exact comparison."""
-    with open(os.path.join(savedir, "automated_log.txt")) as f:
+    with open(os.path.join(savedir, name)) as f:
         lines = f.read().splitlines()
     rows = []
     for ln in lines[1:]:
@@ -81,18 +81,31 @@ def _check_lr_column(rows, base_lr, num_epochs):
             f"schedule value {want:.8f}")
 
 
-def _torch_twin(datadir, tmodel, base_lr, num_epochs):
+def _torch_twin(datadir, tmodel, base_lr, num_epochs, *, enc=False,
+                class_weights=DECODER_WEIGHTS):
     """Replay the driver's recipe in torch: same loaders (shared shuffle
     stream), per-epoch poly LR, train-mode BN + Adam(coupled wd), eval-mode
-    val loop with IoU.  Returns per-epoch (train_loss, val_loss, val_iou)."""
+    val loop with IoU.  enc=True: the stage-1 recipe — only_encode forward
+    at 1/8 resolution, labels nearest-downsampled at 8i+4 (the reference's
+    MyCoTransform enc path).  Returns per-epoch
+    (train_loss, val_loss, val_iou)."""
     ds_tr = CityscapesDataset(datadir, "train", height=HEIGHT)
     ds_va = CityscapesDataset(datadir, "val", height=HEIGHT)
     dl_tr = DataLoader(ds_tr, BATCH, shuffle=True, num_workers=2,
                        drop_last=True, seed=0)
     dl_va = DataLoader(ds_va, BATCH, num_workers=2, pad_final=True)
-    wt = torch.from_numpy(np.asarray(DECODER_WEIGHTS, np.float32))
+    wt = torch.from_numpy(np.asarray(class_weights, np.float32))
     opt = torch.optim.Adam(tmodel.parameters(), lr=base_lr,
                            betas=(0.9, 0.999), eps=1e-8, weight_decay=1e-4)
+
+    def prep(images, labels):
+        x = torch.from_numpy(
+            np.asarray(images).transpose(0, 3, 1, 2)).float()
+        y = np.asarray(labels).astype(np.int64)
+        if enc:
+            y = y[:, 4::8, 4::8]
+        return x, np.where(y == 255, 19, y)
+
     rows = []
     for epoch in range(1, num_epochs + 1):
         lr = base_lr * (1.0 - (epoch - 1) / num_epochs) ** 0.9
@@ -101,12 +114,10 @@ def _torch_twin(datadir, tmodel, base_lr, num_epochs):
         tmodel.train()
         tr_losses = []
         for images, labels, _rels, _n in dl_tr:
-            x = torch.from_numpy(
-                np.asarray(images).transpose(0, 3, 1, 2)).float()
-            y = np.asarray(labels).astype(np.int64)
-            y = torch.from_numpy(np.where(y == 255, 19, y))
-            out = tmodel(x)
-            loss = F.nll_loss(F.log_softmax(out, dim=1), y, weight=wt)
+            x, y = prep(images, labels)
+            out = tmodel(x, only_encode=True) if enc else tmodel(x)
+            loss = F.nll_loss(F.log_softmax(out, dim=1),
+                              torch.from_numpy(y), weight=wt)
             opt.zero_grad()
             loss.backward()
             opt.step()
@@ -115,11 +126,8 @@ def _torch_twin(datadir, tmodel, base_lr, num_epochs):
         va_losses, iou = [], IouEval(20)
         with torch.no_grad():
             for images, labels, _rels, n_valid in dl_va:
-                x = torch.from_numpy(
-                    np.asarray(images).transpose(0, 3, 1, 2)).float()
-                y = np.asarray(labels).astype(np.int64)
-                y = np.where(y == 255, 19, y)
-                out = tmodel(x)
+                x, y = prep(images, labels)
+                out = tmodel(x, only_encode=True) if enc else tmodel(x)
                 va_losses.append(float(F.nll_loss(
                     F.log_softmax(out, dim=1), torch.from_numpy(y),
                     weight=wt)))
@@ -210,6 +218,73 @@ def test_train_stage_epoch_log_matches_torch_twin(fake_cityscapes, tmp_path,
             f"param divergence at {jax.tree_util.keystr(path)}"
         assert diff.mean() < 1.5e-3, \
             f"param drift at {jax.tree_util.keystr(path)}: " \
+            f"{diff.mean():.2e}"
+
+
+@pytest.mark.slow
+def test_encoder_stage_epoch_log_matches_torch_twin(fake_cityscapes,
+                                                    tmp_path, monkeypatch):
+    """Stage-1 (encoder-only, 1/8-resolution labels, the ENCODER weight
+    table) at driver granularity vs the torch twin — the decoder-stage
+    test above cannot see a stage-1-only bug (wrong label downsample
+    phase, wrong weight table, enc log filename)."""
+    from erfnet_pytorch_tpu.training.class_weights import ENCODER_WEIGHTS
+
+    monkeypatch.setattr(erfnet, "ENCODER_LAYER_SPECS",
+                        _zero_dropout_specs(erfnet.ENCODER_LAYER_SPECS))
+    monkeypatch.setattr(erfnet, "DECODER_LAYER_SPECS",
+                        _zero_dropout_specs(erfnet.DECODER_LAYER_SPECS))
+
+    torch.manual_seed(1)
+    tmodel = oracle.Net(20, encoder=oracle.Encoder(20, 0.0, 0.0))
+    init_path = str(tmp_path / "init.pth")
+    torch.save(tmodel.state_dict(), init_path)
+
+    savedir = str(tmp_path / "save_enc")
+    os.makedirs(savedir)
+    cfg = _make_cfg(fake_cityscapes, savedir)
+    cfg.init_weights = init_path
+    ts = train_stage(cfg, enc=True)
+
+    log_path = os.path.join(savedir, "automated_log_encoder.txt")
+    assert os.path.exists(log_path)
+    rows = _parse_log(savedir, name="automated_log_encoder.txt")
+    _check_lr_column(rows, cfg.lr, EPOCHS)
+
+    twin = _torch_twin(fake_cityscapes, tmodel, cfg.lr, EPOCHS, enc=True,
+                       class_weights=ENCODER_WEIGHTS)
+    for (epoch, tr_j, va_j, _tri, iou_j, _lr), (tr_t, va_t, iou_t) in zip(
+            rows, twin):
+        # train loss is evaluated mid-flight at per-step param states; at
+        # 1/8 resolution each image contributes only ~128 weighted pixels
+        # (64x less averaging than the decoder stage), so Adam's
+        # sign-chaos on noise-gradient elements shows as ±0.02
+        # non-monotone wobble (measured; batch ORDER verified identical).
+        # Val loss — the reference's published per-epoch metric — is
+        # evaluated at the settled epoch-end state and must stay tight.
+        assert abs(tr_j - tr_t) < 5e-2, \
+            f"epoch {epoch} enc train loss {tr_j} vs torch {tr_t}"
+        assert abs(va_j - va_t) < 8e-3, \
+            f"epoch {epoch} enc val loss {va_j} vs torch {va_t}"
+        assert abs(iou_j - iou_t) < 0.03, \
+            f"epoch {epoch} enc val IoU {iou_j} vs torch {iou_t}"
+
+    # ENCODER params only: stage-1 never uses the decoder, and torch's
+    # Adam skips its grad-None params while optax sees zero grads +
+    # coupled wd (a deviation train_two_stage discards — stage 2 builds
+    # a FRESH decoder around the trained encoder)
+    sd = torch_import.state_dict_from_module(tmodel)
+    p_ref, _s_ref = torch_import.net_from_state_dict(sd)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(p_ref["encoder"]))
+    n_steps = EPOCHS * 2
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            ts.params["encoder"]):
+        ref = np.asarray(flat_p[path])
+        diff = np.abs(np.asarray(leaf) - ref)
+        assert diff.max() < 2 * n_steps * cfg.lr, \
+            f"enc param divergence at {jax.tree_util.keystr(path)}"
+        assert diff.mean() < 1.5e-3, \
+            f"enc param drift at {jax.tree_util.keystr(path)}: " \
             f"{diff.mean():.2e}"
 
 
