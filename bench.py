@@ -226,6 +226,10 @@ def main():
     # headline batch.
     infer_b32 = measure_infer(params, batch_stats, 32, iters=16)
     infer_b128 = measure_infer(params, batch_stats, 128, iters=12)
+    # round-4 probe (scripts/tpu_infer_batch_probe.py, merged kernels):
+    # B=192 1402, B=256 1409 img/s — the curve's asymptote; 192 is the
+    # headline batch now (128 measured 1381-1384)
+    infer_b192 = measure_infer(params, batch_stats, 192, iters=8)
     train_b6 = measure_train(6, iters=10)
     imagenet_b32 = measure_imagenet(32, iters=10)
 
@@ -265,7 +269,7 @@ def main():
                   f"{key} was measured at {entry.get('commit')}; rerun "
                   f"`python bench.py --full` to refresh", file=sys.stderr)
 
-    value = max(infer_b8, infer_b16, infer_b32, infer_b128)
+    value = max(infer_b8, infer_b16, infer_b32, infer_b128, infer_b192)
     print(json.dumps({
         "metric": "cityscapes_512x1024_inference_images_per_sec_per_chip",
         "value": round(value, 2),
@@ -277,6 +281,7 @@ def main():
             "infer_fps_batch16_pallas": round(infer_b16, 2),
             "infer_fps_batch32_pallas": round(infer_b32, 2),
             "infer_fps_batch128_pallas": round(infer_b128, 2),
+            "infer_fps_batch192_pallas": round(infer_b192, 2),
             "train_images_per_sec_batch6": round(train_b6, 2),
             "imagenet224_train_images_per_sec_batch32": round(imagenet_b32,
                                                               2),
