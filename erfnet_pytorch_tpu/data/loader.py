@@ -79,15 +79,19 @@ class DataLoader:
                               else int(process_index))
         self.process_count = (jax.process_count() if process_count is None
                               else int(process_count))
-        if (self.process_count > 1 and sharding is not None
+        if (sharding is not None
                 and jax.process_count() != self.process_count):
             # with a sharding, the producer assembles GLOBAL arrays via
             # make_array_from_process_local_data — meaningful only when
             # the jax runtime really spans process_count processes.  A
             # simulated host (explicit process_index/count in one
             # process) would silently device_put its LOCAL block as the
-            # global batch; simulations must pass sharding=None and
-            # assemble via mesh.global_batch_from_locals.
+            # global batch — and an explicit process_count=1 under a
+            # REAL multi-process runtime would feed the full global
+            # batch into make_array_from_process_local_data as this
+            # host's block — so ANY mismatch is rejected; simulations
+            # must pass sharding=None and assemble via
+            # mesh.global_batch_from_locals.
             raise ValueError(
                 f"process_count={self.process_count} with a sharding "
                 f"requires a matching multi-process jax runtime "
@@ -233,7 +237,10 @@ class DataLoader:
                         return
                     images, labels, rels, n_valid = assemble(idx)
                     if self.sharding is not None:
-                        if jax.process_count() > 1:
+                        # consistent with the block-decode key (the
+                        # constructor guarantees self.process_count ==
+                        # jax.process_count() whenever sharding is set)
+                        if self.process_count > 1:
                             # local rows -> GLOBAL jax.Array: every host
                             # contributes its block; downstream shapes are
                             # the global batch (multi-host DP data path).

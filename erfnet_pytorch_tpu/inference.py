@@ -203,7 +203,10 @@ def _eligible(shape, p):
 # mono-kernel's VMEM footprint stalls Mosaic's cross-program DMA
 # pipelining, unlike the 1M-element plain C=128 stack (20.9 vs 28.4,
 # a 26% win).  Kernel kept (nb1d_stack_infer_packed) for shapes/hardware
-# where the tradeoff flips.
+# where the tradeoff flips.  NOTE: the stacked kernel's W-convs are
+# UNMERGED (_nb1d_stack_kernel calls _taps_w without thr — 12 not 10 MXU
+# passes per packed block), so flipping this gate must re-benchmark
+# against the side-merged per-block path, not the r02 numbers.
 _PACKED_STACKS = False
 
 

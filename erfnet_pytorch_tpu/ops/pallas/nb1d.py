@@ -104,7 +104,12 @@ def _taps_w(x, w, d, H, W, C, relu, bias, thr=0):
     cut for the whole 12-matmul packed block (the H-convs' kron(I_p, W)
     structure is at its density floor: slot-preserving K rows can only
     ever feed their own slot's 1/p of the output lanes, so no lane
-    shuffle can densify them — any shuffle is itself a matmul)."""
+    shuffle can densify them — any shuffle is itself a matmul).
+
+    Weights are cast to x.dtype UNIFORMLY (all three taps, both
+    branches) so merged-vs-unmerged stays bit-identical at every
+    dtype combination, not just the shipped pre-cast configs."""
+    w = w.astype(x.dtype)
     flat = x.reshape(H * W, C)
     m1 = jnp.dot(flat, w[1], preferred_element_type=jnp.float32).reshape(
         H, W, C)
@@ -117,8 +122,7 @@ def _taps_w(x, w, d, H, W, C, relu, bias, thr=0):
         xb = jnp.concatenate([x[:, d:], zx], axis=1)    # w[2]'s source
         lane = jax.lax.broadcasted_iota(jnp.int32, (H, W, C), 2)
         sel = jnp.where(lane < thr, xb, xa)
-        side = jnp.dot(sel.reshape(H * W, C),
-                       (w[0] + w[2]).astype(x.dtype),
+        side = jnp.dot(sel.reshape(H * W, C), w[0] + w[2],
                        preferred_element_type=jnp.float32)
         out = m1 + side.reshape(H, W, C) + bias
         return jax.nn.relu(out) if relu else out

@@ -62,6 +62,28 @@ FWD_SIDE_MERGE = True
 BWD_SIDE_MERGE = True
 
 
+def _check_thrw_contract(ww, thrw):
+    """Fail loudly on thrw misuse (see the fused_pair docstring): with the
+    side-merge enabled, ``thrw > 0`` asserts that ``ww[2]`` has nonzero
+    K-rows only in ``[0, thrw)`` and ``ww[0]`` only in ``[C-thrw, C)`` —
+    true by construction for ``stack_taps_w`` output (2*du <= p), and the
+    merged forward/side-dW math is WRONG for any other ww.  Only concrete
+    (non-traced) weights can be checked; under jit the contract is the
+    caller's responsibility (the packed train path satisfies it)."""
+    if not thrw or not (FWD_SIDE_MERGE or BWD_SIDE_MERGE):
+        return
+    if isinstance(ww, jax.core.Tracer):
+        return
+    w = np.asarray(ww)
+    C = w.shape[-1]
+    if w[0][: C - thrw].any() or w[2][thrw:].any():
+        raise ValueError(
+            f"thrw={thrw} passed with a dense ww: the side-merge requires "
+            f"ww built by stack_taps_w (ww[2] rows >= {thrw} and ww[0] "
+            f"rows < {C - thrw} must be zero); a dense ww would compute a "
+            f"wrong forward and wrong dww under the merge")
+
+
 def fused_train_enabled() -> bool:
     if _ENABLED is None:
         # auto: on for accelerators — single-chip, or multi-chip once the
@@ -563,9 +585,18 @@ def fused_pair(x, wh, bh, ww, bw, *, sh: int, sw: int, thrw: int = 0,
     bh/bw: (C,).  sh: H shift in rows; sw: W shift in Wb blocks.
     lead_relu folds a leading ReLU (the post-BN1 one) into the kernel.
     Returns z = conv_w(relu(conv_h(maybe_relu(x)) + bh)) + bw, x.dtype.
+
+    thrw > 0 (packed layouts' W-conv side-merge) REQUIRES ww built by
+    stack_taps_w with 2*du <= p: the merge assumes ww[0]/ww[2] have the
+    disjoint structural K-row blocks that builder produces (and the
+    merged side-dW masks rows outside that support, which stack_taps_w's
+    VJP projects out anyway).  An arbitrary dense ww with thrw > 0
+    silently computes a WRONG forward and wrong dww; concrete weights
+    are checked (_check_thrw_contract), traced ones cannot be.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    _check_thrw_contract(ww, thrw)
     dbw = bw.astype(jnp.float32)
     return _pair_op(int(sh), int(sw), int(thrw), bool(lead_relu), bool(interpret))(
         x, wh, bh.astype(jnp.float32), ww, dbw)
@@ -851,9 +882,11 @@ def fused_pair_epi(t, y_res, m, a, b, wh, bh, ww, bw, *, sh: int, sw: int, thrw:
     to {0, 1/keep} (ones when off); a/b: BN2 affine (batch_norm_coeffs).
     Returns (z, y_next) — y_next is this block's residual.  The epilogue's
     three full-map XLA ops (and their backward) never touch HBM.
+    thrw > 0 requires a stack_taps_w-built ww (see fused_pair).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    _check_thrw_contract(ww, thrw)
     m3 = m.astype(jnp.float32).reshape(m.shape[0], 1, m.shape[1])
     return _pair_epi_op(int(sh), int(sw), int(thrw), bool(interpret))(
         t, y_res, m3, a.astype(jnp.float32), b.astype(jnp.float32), wh,
@@ -870,9 +903,11 @@ def fused_pair_affine(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int, thrw: int = 
     batch_norm_coeffs) — the full-map ``x*a + b`` never touches HBM, and
     the custom VJP emits da/db so JAX backprops them through the batch
     statistics (the cross-batch reductions stay in XLA).
+    thrw > 0 requires a stack_taps_w-built ww (see fused_pair).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    _check_thrw_contract(ww, thrw)
     return _pair_affine_op(int(sh), int(sw), int(thrw), bool(interpret))(
         x, a.astype(jnp.float32), b.astype(jnp.float32), wh,
         bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
@@ -1038,9 +1073,11 @@ def fused_pair_stats(x, wh, bh, ww, bw, *, sh: int, sw: int, thrw: int = 0,
                      interpret: Optional[bool] = None):
     """fused_pair that also returns the output's PER-ROW batch statistics:
     (z, s1 (B, C) f32 row sums, s2 (B, C) f32 row sums-of-squares) for the
-    following BatchNorm (reduce with ops/packed.py:stat_sums_from_rows)."""
+    following BatchNorm (reduce with ops/packed.py:stat_sums_from_rows).
+    thrw > 0 requires a stack_taps_w-built ww (see fused_pair)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    _check_thrw_contract(ww, thrw)
     return _pair_op_st(int(sh), int(sw), int(thrw), bool(lead_relu), bool(interpret))(
         x, wh, bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
 
@@ -1183,9 +1220,11 @@ def _pair_affine_op_st(sh: int, sw: int, thrw: int, interpret: bool):
 
 def fused_pair_affine_stats(x, a, b, wh, bh, ww, bw, *, sh: int, sw: int, thrw: int = 0,
                             interpret: Optional[bool] = None):
-    """fused_pair_affine that also returns (z, s1, s2) batch statistics."""
+    """fused_pair_affine that also returns (z, s1, s2) batch statistics.
+    thrw > 0 requires a stack_taps_w-built ww (see fused_pair)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    _check_thrw_contract(ww, thrw)
     return _pair_affine_op_st(int(sh), int(sw), int(thrw), bool(interpret))(
         x, a.astype(jnp.float32), b.astype(jnp.float32), wh,
         bh.astype(jnp.float32), ww, bw.astype(jnp.float32))
@@ -1348,9 +1387,11 @@ def _pair_epi_op_st(sh: int, sw: int, thrw: int, interpret: bool):
 def fused_pair_epi_stats(t, y_res, m, a, b, wh, bh, ww, bw, *, sh: int,
                          sw: int, thrw: int = 0,
                          interpret: Optional[bool] = None):
-    """fused_pair_epi that also returns (z, y_next, s1, s2)."""
+    """fused_pair_epi that also returns (z, y_next, s1, s2).
+    thrw > 0 requires a stack_taps_w-built ww (see fused_pair)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    _check_thrw_contract(ww, thrw)
     m3 = m.astype(jnp.float32).reshape(m.shape[0], 1, m.shape[1])
     return _pair_epi_op_st(int(sh), int(sw), int(thrw), bool(interpret))(
         t, y_res, m3, a.astype(jnp.float32), b.astype(jnp.float32), wh,
