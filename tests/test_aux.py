@@ -244,3 +244,79 @@ def test_bench_static_provenance_audit():
         assert b._stale_since("abc123") is True       # perf path changed
     finally:
         b._git = real
+
+
+@pytest.fixture(scope="session")
+def fake_voc12_train(tmp_path_factory):
+    """VOC-style tree whose labels exercise the full void contract:
+    classes 0..18 plus a 255-void border band (palette index 255)."""
+    root = tmp_path_factory.mktemp("voc12_train")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.RandomState(7)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (96, 128, 3),
+                                    dtype=np.uint8)).save(
+            root / "images" / f"2008_{i:06d}.jpg")
+        lab = rng.randint(0, 19, (96, 128), dtype=np.uint8)
+        lab[:8] = 255   # void band (VOC 'difficult' boundary convention)
+        im = Image.fromarray(lab, mode="P")
+        # real VOC labels are palette PNGs (pixel value == class index);
+        # a P image saved WITHOUT a palette round-trips as garbage
+        im.putpalette([c for v in range(256) for c in (v, v, v)])
+        im.save(root / "labels" / f"2008_{i:06d}.png")
+    return str(root)
+
+
+def test_voc12_end_to_end_train_and_eval(fake_voc12_train):
+    """VOC12 through the REAL training pipeline (VERDICT r4 #6): the
+    DataLoader + make_train_step/make_eval_step consume VOC12Dataset
+    exactly as they consume Cityscapes — the reference's train/main.py
+    hardcodes NUM_CLASSES=20 + Relabel(255,19) regardless of which
+    dataset class feeds it (train/dataset.py:VOC12 — SURVEY.md §2a
+    row 3), so that is the supported semantics here too: labels 0..18
+    + 255-void, void relabeled to 19 whose loss weight is zero."""
+    import jax
+    import jax.numpy as jnp
+    from erfnet_pytorch_tpu.data.loader import DataLoader
+    from erfnet_pytorch_tpu.data.voc12 import VOC12Dataset
+    from erfnet_pytorch_tpu.models import erfnet
+    from erfnet_pytorch_tpu.training import optim
+    from erfnet_pytorch_tpu.training.class_weights import DECODER_WEIGHTS
+    from erfnet_pytorch_tpu.training.steps import (create_train_state,
+                                                   make_train_step,
+                                                   make_eval_step)
+
+    ds = VOC12Dataset(fake_voc12_train, height=48)
+    dl = DataLoader(ds, 2, shuffle=True, num_workers=2, drop_last=True,
+                    seed=0)
+    tx = optim.make_adam(5e-3)
+    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                           augment=False)
+    losses = []
+    for epoch in range(3):
+        for images, labels, _rels, _n in dl:
+            ts, loss = step(ts, jnp.asarray(images), jnp.asarray(labels),
+                            jax.random.PRNGKey(epoch))
+            losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+
+    ev = make_eval_step(erfnet, DECODER_WEIGHTS, enc=False)
+    images, labels, _rels, n_valid = next(iter(DataLoader(ds, 2,
+                                                          num_workers=1)))
+    loss, preds, tgts = ev(ts, jnp.asarray(images), jnp.asarray(labels))
+    assert np.isfinite(float(loss))
+    # void relabel: raw 255 pixels surface as class 19 in the eval targets
+    t = np.asarray(tgts)
+    raw = np.asarray(labels)
+    assert (raw == 255).any()           # the fixture's void band survived
+    assert (t[raw == 255] == 19).all()
+    assert t.max() <= 19 and np.asarray(preds).shape == t.shape
+
+    # all-void batch: the guarded denominator keeps the loss finite
+    # (torch's reference NLL yields NaN here — SURVEY.md §7 hard parts)
+    void_labels = jnp.full_like(jnp.asarray(labels), 255)
+    l2, _p, _t = ev(ts, jnp.asarray(images), void_labels)
+    assert np.isfinite(float(l2))
