@@ -160,6 +160,76 @@ def measure_imagenet(batch_size=32, iters=10):
     return batch_size / dt
 
 
+def measure_train_device(batch_size=6, dispatches=4, multi_step=2,
+                         logdir="/tmp/bench_prof_train"):
+    """DEVICE-side ms per optimizer step (VERDICT r4 weak #1): a short
+    profiler trace over ``dispatches`` warm dispatches of the shipped
+    multi_step=2 train step; the metric is the TPU plane's busiest line
+    (the serialized TensorCore op stream) summed and divided by the
+    optimizer-step count.  Excludes the host-dispatch/tunnel-RTT gap that
+    swings the wall-clock train number ±10% between identical runs
+    (BENCH_r01..r04: 220.1/265.4/266.8/249.4 img/s at an unchanged
+    kernel set) — this stamp moves only when the device program does."""
+    import glob
+    import shutil
+
+    from erfnet_pytorch_tpu.models import erfnet
+    from erfnet_pytorch_tpu.training import optim
+    from erfnet_pytorch_tpu.training.steps import (create_train_state,
+                                                   make_train_step)
+    from erfnet_pytorch_tpu.training.class_weights import DECODER_WEIGHTS
+
+    K = multi_step
+    tx = optim.make_adam()
+    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
+    step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
+                           augment=True, compute_dtype=jnp.bfloat16,
+                           flat=True, multi_step=K)
+    ts = step.flatten(ts)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch_size, 512, 1024, 3)
+                         .astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (batch_size, 512, 1024))
+                         .astype(np.int32))
+    ims = tuple(images for _ in range(K))
+    lbs = tuple(labels for _ in range(K))
+    key = jax.random.PRNGKey(0)
+
+    for _ in range(2):  # compile + warm
+        ts, losses = step(ts, ims, lbs, key)
+    float(losses[-1])
+
+    shutil.rmtree(logdir, ignore_errors=True)
+    jax.profiler.start_trace(logdir)
+    for _ in range(dispatches):
+        ts, losses = step(ts, ims, lbs, key)
+    float(losses[-1])  # host sync INSIDE the trace window
+    jax.profiler.stop_trace()
+
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    from parse_xplane import fields, parse_plane, parse_events
+
+    pbs = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                           recursive=True), key=os.path.getmtime)
+    if not pbs:
+        return None
+    best = 0.0
+    space = open(pbs[-1], "rb").read()
+    for fno, _wt, v in fields(space):
+        if fno != 1:
+            continue
+        name, lines, _meta = parse_plane(v)
+        if "TPU" not in name and "Tpu" not in name:
+            continue
+        for lb in lines:
+            _lname, evs = parse_events(lb)
+            tot = sum(d for _mid, d in evs) / 1e9  # ms (parse_xplane unit)
+            best = max(best, tot)
+    if best == 0.0:
+        return None
+    return best / (dispatches * K)
+
+
 def measure_latency_b1(params, batch_stats, chain=16, iters=8):
     """True device-side batch-1 latency: K forwards serialized inside one
     jit via data dependency (scripts/tpu_latency_b1.py methodology)."""
@@ -239,6 +309,7 @@ def main():
     # re-measures and refreshes the stamps at HEAD
     static = _load_static()
     if args.full:
+        tdev = measure_train_device()
         lat = measure_latency_b1(params, batch_stats)
         stream = measure_streaming(params, batch_stats,
                                    batch=args.streaming_batch)
@@ -253,6 +324,12 @@ def main():
                 "how": f"bench.py --full (device-only carry chain, "
                        f"batch {args.streaming_batch})"},
         }
+        if tdev is not None:
+            static["train_device_ms_per_step"] = {
+                "value": round(tdev, 2), "commit": head, "date": today,
+                "how": "bench.py --full (profiler trace, TPU-plane "
+                       "busiest-line total / optimizer steps; batch 6, "
+                       "multi_step 2)"}
         with open(_STATIC_PATH, "w") as f:
             json.dump(static, f, indent=1)
             f.write("\n")
@@ -283,6 +360,11 @@ def main():
             "infer_fps_batch128_pallas": round(infer_b128, 2),
             "infer_fps_batch192_pallas": round(infer_b192, 2),
             "train_images_per_sec_batch6": round(train_b6, 2),
+            # the wall train number swings ±10% with tunnel RTT between
+            # identical runs (r1-r4: 220/265/267/249 img/s); the stamped
+            # train_device_ms_per_step below is the stable device-side twin
+            "train_wall_spread": "±10% (tunnel RTT; see "
+                                 "train_device_ms_per_step)",
             "imagenet224_train_images_per_sec_batch32": round(imagenet_b32,
                                                               2),
             # provenance-stamped extras (BENCH_STATIC.json; see --full):

@@ -23,6 +23,17 @@ The caller reshapes the (B, H/2, Wb, (pi/2)*(Cc+Cin)) result to the next
 stage's W-packed layout (a free row-major regroup).  6 MXU matmuls per
 image replace the whole s2d/pool/concat/repack chain; backward accumulates
 dK/dbias in f32 across the batch grid.
+
+CLOSED AVENUE (r5, paper analysis — do not A/B): the NB1d W-conv
+side-merge (nb1d.py:_taps_w) does NOT extend here.  The merge requires
+the two candidate matrices to have DISJOINT nonzero K-row blocks; the
+(mh, q=0) main and (mh, q=-1) wrap matrices OVERLAP at slot u = pi-1
+(the main matrix needs it for t = pi/2-1, mw=2; the wrap matrix for
+t=0, mw=0), so a lane-select merged input cannot route one source per
+K-row.  The mh direction is the proven kron density floor.  Even if the
+q-pair merged, the bound is 1/6 of stem MACs with the stem at 0.080 of
+0.748 ms/img infer device time (r3 profile) and not MAC-bound: < 1.8%
+e2e — below the 3% A/B bar before validity even enters.
 """
 
 from __future__ import annotations

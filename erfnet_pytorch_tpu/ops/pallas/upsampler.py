@@ -22,6 +22,17 @@ transposed shifts and accumulates dK in f32 across the batch grid.
 
 BatchNorm stays in XLA between stages (ops/packed.py:_bn_packed computes
 exact unpacked batch stats on packed tensors).
+
+CLOSED AVENUE (r5, paper analysis — do not A/B): the NB1d W-conv
+side-merge does not extend here.  K[a, qh, qw=1] (the block-spill
+matrix) is nonzero only at input slot u_in = 0 — but K[a, qh, qw=0]
+also uses u_in = 0 (for t's u=0, mw=0 placement), so the candidate
+pair's K-row supports OVERLAP at the wrap slot and a lane-select merge
+is invalid (the NB1d merge works because the +s/-s SIDE taps occupy
+disjoint END slots; a one-sided spill always collides with the main
+matrix).  Upper bound if it were valid: 2 of 8 matmuls, with down+ups
+together ~0.12 of 0.748 ms/img infer device time (r3 profile) — ~2%
+e2e ceiling, below the 3% A/B bar.
 """
 
 from __future__ import annotations
