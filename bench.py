@@ -90,10 +90,15 @@ def measure_infer(params, batch_stats, batch_size, iters=40,
     return batch_size / dt
 
 
-def measure_train(batch_size, iters=20, multi_step=2):
+def measure_train(batch_size, iters=20, multi_step=2, device_trace=False):
     """Hot-loop train throughput at the trainer's multi_step=K config:
     one dispatch runs K unrolled optimizer steps (trainer supports the
-    same via TrainConfig.multi_step)."""
+    same via TrainConfig.multi_step).
+
+    device_trace=True additionally profiles a few warm dispatches and
+    returns (throughput, device_ms_per_step) — reusing THIS compiled
+    step (the 40 MB executable is pruned from the persistent cache, so a
+    separate measurement function would pay the ~320 s compile twice)."""
     from erfnet_pytorch_tpu.models import erfnet
     from erfnet_pytorch_tpu.training import optim
     from erfnet_pytorch_tpu.training.steps import (create_train_state,
@@ -128,7 +133,55 @@ def measure_train(batch_size, iters=20, multi_step=2):
         return loss
 
     dt = _timed_chain(fn, jnp.float32(0), iters) / K
-    return batch_size / dt
+    if not device_trace:
+        return batch_size / dt
+    return batch_size / dt, _trace_device_ms(fn, dispatches=4, ksteps=K)
+
+
+def _trace_device_ms(fn, dispatches, ksteps, logdir="/tmp/bench_prof_train"):
+    """Profile `dispatches` warm calls of fn and return the TPU plane's
+    busiest-line total (the serialized TensorCore op stream) divided by
+    the optimizer-step count, in ms — the stable device-side twin of the
+    wall-clock train number (VERDICT r4 weak #1): it excludes the
+    host-dispatch/tunnel-RTT gap that swings the wall ±10% between
+    identical runs (BENCH_r01..r04: 220.1/265.4/266.8/249.4 img/s at an
+    unchanged kernel set) and moves only when the device program does."""
+    import glob
+    import shutil
+
+    shutil.rmtree(logdir, ignore_errors=True)
+    jax.profiler.start_trace(logdir)
+    c = jnp.float32(0)
+    for _ in range(dispatches):
+        c = fn(c) * 0.0
+    float(c)  # host sync INSIDE the trace window
+    jax.profiler.stop_trace()
+
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    from parse_xplane import fields, parse_plane, parse_events
+
+    pbs = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                           recursive=True), key=os.path.getmtime)
+    if not pbs:
+        return None
+    best = 0.0
+    space = open(pbs[-1], "rb").read()
+    for fno, _wt, v in fields(space):
+        if fno != 1:
+            continue
+        name, lines, _meta = parse_plane(v)
+        if "/device:TPU" not in name:
+            continue
+        for lb in lines:
+            lname, evs = parse_events(lb)
+            # the serialized op stream only: the 'Async XLA Ops' line's
+            # copy-start windows OVERLAP compute (r03 profile note —
+            # they are waits, not busy time) and sum to ~9x the span
+            if lname not in ("XLA Ops", "XLA Modules", "Steps"):
+                continue
+            tot = sum(d for _mid, d in evs) / 1e9  # ms (parse_xplane unit)
+            best = max(best, tot)
+    return best / (dispatches * ksteps) if best else None
 
 
 def measure_imagenet(batch_size=32, iters=10):
@@ -158,76 +211,6 @@ def measure_imagenet(batch_size=32, iters=10):
 
     dt = _timed_chain(fn, jnp.float32(0), iters)
     return batch_size / dt
-
-
-def measure_train_device(batch_size=6, dispatches=4, multi_step=2,
-                         logdir="/tmp/bench_prof_train"):
-    """DEVICE-side ms per optimizer step (VERDICT r4 weak #1): a short
-    profiler trace over ``dispatches`` warm dispatches of the shipped
-    multi_step=2 train step; the metric is the TPU plane's busiest line
-    (the serialized TensorCore op stream) summed and divided by the
-    optimizer-step count.  Excludes the host-dispatch/tunnel-RTT gap that
-    swings the wall-clock train number ±10% between identical runs
-    (BENCH_r01..r04: 220.1/265.4/266.8/249.4 img/s at an unchanged
-    kernel set) — this stamp moves only when the device program does."""
-    import glob
-    import shutil
-
-    from erfnet_pytorch_tpu.models import erfnet
-    from erfnet_pytorch_tpu.training import optim
-    from erfnet_pytorch_tpu.training.steps import (create_train_state,
-                                                   make_train_step)
-    from erfnet_pytorch_tpu.training.class_weights import DECODER_WEIGHTS
-
-    K = multi_step
-    tx = optim.make_adam()
-    ts = create_train_state(erfnet, jax.random.PRNGKey(0), 20, tx)
-    step = make_train_step(erfnet, tx, DECODER_WEIGHTS, enc=False,
-                           augment=True, compute_dtype=jnp.bfloat16,
-                           flat=True, multi_step=K)
-    ts = step.flatten(ts)
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(batch_size, 512, 1024, 3)
-                         .astype(np.float32))
-    labels = jnp.asarray(rng.randint(0, 20, (batch_size, 512, 1024))
-                         .astype(np.int32))
-    ims = tuple(images for _ in range(K))
-    lbs = tuple(labels for _ in range(K))
-    key = jax.random.PRNGKey(0)
-
-    for _ in range(2):  # compile + warm
-        ts, losses = step(ts, ims, lbs, key)
-    float(losses[-1])
-
-    shutil.rmtree(logdir, ignore_errors=True)
-    jax.profiler.start_trace(logdir)
-    for _ in range(dispatches):
-        ts, losses = step(ts, ims, lbs, key)
-    float(losses[-1])  # host sync INSIDE the trace window
-    jax.profiler.stop_trace()
-
-    sys.path.insert(0, os.path.join(_REPO, "scripts"))
-    from parse_xplane import fields, parse_plane, parse_events
-
-    pbs = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                           recursive=True), key=os.path.getmtime)
-    if not pbs:
-        return None
-    best = 0.0
-    space = open(pbs[-1], "rb").read()
-    for fno, _wt, v in fields(space):
-        if fno != 1:
-            continue
-        name, lines, _meta = parse_plane(v)
-        if "TPU" not in name and "Tpu" not in name:
-            continue
-        for lb in lines:
-            _lname, evs = parse_events(lb)
-            tot = sum(d for _mid, d in evs) / 1e9  # ms (parse_xplane unit)
-            best = max(best, tot)
-    if best == 0.0:
-        return None
-    return best / (dispatches * K)
 
 
 def measure_latency_b1(params, batch_stats, chain=16, iters=8):
@@ -300,7 +283,10 @@ def main():
     # B=192 1402, B=256 1409 img/s — the curve's asymptote; 192 is the
     # headline batch now (128 measured 1381-1384)
     infer_b192 = measure_infer(params, batch_stats, 192, iters=8)
-    train_b6 = measure_train(6, iters=10)
+    if args.full:
+        train_b6, tdev = measure_train(6, iters=10, device_trace=True)
+    else:
+        train_b6 = measure_train(6, iters=10)
     imagenet_b32 = measure_imagenet(32, iters=10)
 
     # statically-stamped extras: values measured by dedicated scripts with
@@ -309,7 +295,6 @@ def main():
     # re-measures and refreshes the stamps at HEAD
     static = _load_static()
     if args.full:
-        tdev = measure_train_device()
         lat = measure_latency_b1(params, batch_stats)
         stream = measure_streaming(params, batch_stats,
                                    batch=args.streaming_batch)

@@ -74,6 +74,17 @@ def main():
     mesh = make_mesh_2d(H, 4)  # dcn == hosts, 4 chips each
     ds = CityscapesDataset(args.root, "train", height=64)
     G = 8
+
+    # ADVICE r4 #4 guard, executed under a REAL multi-process runtime: an
+    # explicit process_count=1 with a sharding must be rejected (it would
+    # feed the full global batch into make_array_from_process_local_data
+    # as this host's block)
+    try:
+        DataLoader(ds, 6, pad_to=G, sharding=batch_sharding(mesh),
+                   process_index=0, process_count=1)
+        raise AssertionError("process_count=1 + sharding guard missing")
+    except ValueError as e:
+        assert "process_count" in str(e)
     dl = DataLoader(ds, 6, shuffle=True, seed=3, pad_to=G, num_workers=2,
                     sharding=batch_sharding(mesh))  # process_* defaulted
     images, labels, rels, n_valid = next(iter(dl))

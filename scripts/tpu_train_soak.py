@@ -34,14 +34,42 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STATE = "/tmp/soak_state.json"
-RESULT = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "SOAK_TPU.json")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULT = os.path.join(_REPO, "SOAK_TPU.json")
 DATA = "/tmp/soak_data"
 EPOCHS, KILL_AT = 25, 13
 
+# --recipe (VERDICT r4 #5): the ACTUAL recipe shape — 512x1024 batch 6 —
+# for ~48 optimizer steps with the same kill/resume bit-equality proof.
+# 8 epochs x 6 steps; kill at epoch 5.  iou_val off to keep the process
+# to the two essential compiles (train + val-loss step) under tunnel
+# policy; the fixture soak covers the IoU path.
+RECIPE = dict(height=512, epochs=8, kill_at=5, data="/tmp/soak_data_recipe",
+              result=os.path.join(_REPO, "SOAK_RECIPE_TPU.json"),
+              state="/tmp/soak_state_recipe.json", size=(512, 1024),
+              savedir_full="/tmp/soak_full_recipe",
+              savedir_killed="/tmp/soak_killed_recipe")
+_MODE = {"recipe": False}
 
-def make_data(root=DATA, n_train=36, n_val=12):
+
+def _p(name):
+    if not _MODE["recipe"]:
+        return {"state": STATE, "result": RESULT, "data": DATA,
+                "epochs": EPOCHS, "kill_at": KILL_AT, "height": 64,
+                "size": (128, 256), "savedir_full": "/tmp/soak_full",
+                "savedir_killed": "/tmp/soak_killed"}[name]
+    return {"state": RECIPE["state"], "result": RECIPE["result"],
+            "data": RECIPE["data"], "epochs": RECIPE["epochs"],
+            "kill_at": RECIPE["kill_at"], "height": RECIPE["height"],
+            "size": RECIPE["size"], "savedir_full": RECIPE["savedir_full"],
+            "savedir_killed": RECIPE["savedir_killed"]}[name]
+
+
+def make_data(root=None, n_train=36, n_val=12):
     from PIL import Image
+    if root is None:
+        root = _p("data")
+    h, w = _p("size")
     if os.path.exists(os.path.join(root, ".done")):
         return root
     rng = np.random.RandomState(7)
@@ -52,7 +80,7 @@ def make_data(root=DATA, n_train=36, n_val=12):
         os.makedirs(lab_dir, exist_ok=True)
         for i in range(n):
             stem = f"soak_{i:06d}_000019"
-            img = rng.randint(0, 255, (128, 256, 3), np.uint8)
+            img = rng.randint(0, 255, (h, w, 3), np.uint8)
             # learnable structure: labels follow smoothed intensity bands
             gray = img.mean(-1)
             lab = np.clip(gray / 255.0 * 19.0, 0, 18).astype(np.uint8)
@@ -88,20 +116,23 @@ def _cfg(savedir, log_fn=print):
     from erfnet_pytorch_tpu.parallel.mesh import make_mesh
     import jax.numpy as jnp
     return TrainConfig(
-        datadir=make_data(), savedir=savedir, height=64, num_epochs=EPOCHS,
-        batch_size=6, num_workers=2, steps_loss=0, iou_val=True,
+        datadir=make_data(), savedir=savedir, height=_p("height"),
+        num_epochs=_p("epochs"),
+        batch_size=6, num_workers=2, steps_loss=0,
+        iou_val=not _MODE["recipe"],
         seed=0, compute_dtype=jnp.bfloat16,
         mesh=make_mesh(1, jax.devices()[:1]), log_fn=log_fn)
 
 
 def _load_state():
-    return json.load(open(STATE)) if os.path.exists(STATE) else {}
+    st = _p("state")
+    return json.load(open(st)) if os.path.exists(st) else {}
 
 
 def _save_state(d):
     s = _load_state()
     s.update(d)
-    json.dump(s, open(STATE, "w"), indent=1)
+    json.dump(s, open(_p("state"), "w"), indent=1)
 
 
 def stage_full():
@@ -112,18 +143,21 @@ def stage_full():
     from erfnet_pytorch_tpu.training.trainer import train_stage
     import time
     t0 = time.time()
-    ts = train_stage(_cfg("/tmp/soak_full"), enc=False)
+    ts = train_stage(_cfg(_p("savedir_full")), enc=False)
     wall = time.time() - t0
     dg = _digest(ts)
-    rows = _losses("/tmp/soak_full")
+    rows = _losses(_p("savedir_full"))
     first3 = float(np.mean([r[0] for r in rows[:3]]))
     last3 = float(np.mean([r[0] for r in rows[-3:]]))
     entry = {
-        "steps": EPOCHS * 6, "wall_s": round(wall, 1),
+        "shape": f"512x1024 batch 6" if _MODE["recipe"]
+                 else "64x128 batch 6",
+        "steps": _p("epochs") * 6, "wall_s": round(wall, 1),
         "train_loss_first3_mean": round(first3, 4),
         "train_loss_last3_mean": round(last3, 4),
         "val_loss_first": rows[0][1], "val_loss_last": rows[-1][1],
-        "loss_decreased": bool(last3 < first3 - 0.2),
+        "loss_decreased": bool(last3 < first3 - (0.2 if not _MODE["recipe"]
+                                                 else 0.05)),
         "digest_params": dg[0], "digest_stats": dg[1],
     }
     _save_state({"full": entry})
@@ -142,16 +176,16 @@ def stage_killed():
         pass
 
     def killer(msg):
-        if f"EPOCH {KILL_AT} " in msg and "TRAINING" in msg:
+        if f"EPOCH {_p('kill_at')} " in msg and "TRAINING" in msg:
             raise Kill
 
     try:
-        train_stage(_cfg("/tmp/soak_killed", log_fn=killer), enc=False)
+        train_stage(_cfg(_p("savedir_killed"), log_fn=killer), enc=False)
         raise AssertionError("killer never fired")
     except Kill:
         pass
-    _save_state({"killed": {"killed_at_epoch": KILL_AT}})
-    print(json.dumps({"killed_at_epoch": KILL_AT}))
+    _save_state({"killed": {"killed_at_epoch": _p("kill_at")}})
+    print(json.dumps({"killed_at_epoch": _p("kill_at")}))
 
 
 def stage_resumed():
@@ -160,7 +194,7 @@ def stage_resumed():
     en()
     assert jax.default_backend() != "cpu"
     from erfnet_pytorch_tpu.training.trainer import train_stage
-    cfg = _cfg("/tmp/soak_killed")
+    cfg = _cfg(_p("savedir_killed"))
     cfg.resume = True
     ts = train_stage(cfg, enc=False)
     dg = _digest(ts)
@@ -175,7 +209,7 @@ def stage_resumed():
         "resume_bit_equal": bool(equal),
         "pass": bool(equal and s["full"]["loss_decreased"]),
     }
-    with open(RESULT, "w") as f:
+    with open(_p("result"), "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
     print(json.dumps(out, indent=1))
@@ -186,7 +220,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage", required=True,
                     choices=["full", "killed", "resumed"])
+    ap.add_argument("--recipe", action="store_true",
+                    help="512x1024 batch-6 recipe shape (~48 steps, "
+                         "SOAK_RECIPE_TPU.json)")
     args = ap.parse_args()
+    _MODE["recipe"] = bool(args.recipe)
     {"full": stage_full, "killed": stage_killed,
      "resumed": stage_resumed}[args.stage]()
 

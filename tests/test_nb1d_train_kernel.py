@@ -584,3 +584,36 @@ def test_train_step_fused_bf16_multistep_smoke():
         assert losses.shape == (2,)
         assert np.all(np.isfinite(np.asarray(losses)))
         assert int(fts.step) == 2
+
+
+def test_thrw_contract_rejects_dense_ww():
+    """ADVICE r4 #1 guard: thrw > 0 with a DENSE ww (not built by
+    stack_taps_w) must fail loudly instead of silently computing a wrong
+    merged forward/dww; a stack_taps_w-built ww passes, and tracers are
+    exempt (checked only when concrete)."""
+    from erfnet_pytorch_tpu.ops.pallas.nb1d_train import _check_thrw_contract
+
+    rng = np.random.RandomState(0)
+    p, C, d = 8, 16, 1
+    x = jnp.asarray(rng.rand(1, 8, 4, p * C).astype(np.float32))
+    wh3 = jnp.asarray(rng.randn(3, C, C).astype(np.float32) * 0.05)
+    ww3 = jnp.asarray(rng.randn(3, C, C).astype(np.float32) * 0.05)
+    Kh = stack_taps_h(wh3, p)
+    Kw, s = stack_taps_w(ww3, p, d)
+    bh = jnp.zeros(p * C)
+    bw = jnp.zeros(p * C)
+    thr = d * C  # du * Cc for the shipped du=1 blocks
+
+    # structured ww: fine (both the checker and the real entry point)
+    _check_thrw_contract(Kw, thr)
+    fused_pair(x, Kh, bh, Kw, bw, sh=1, sw=s, thrw=thr)
+
+    dense = jnp.asarray(rng.randn(3, p * C, p * C).astype(np.float32))
+    with pytest.raises(ValueError, match="stack_taps_w"):
+        fused_pair(x, Kh, bh, dense, bw, sh=1, sw=s, thrw=thr)
+    # thrw == 0: dense ww is legal (unmerged path)
+    fused_pair(x, Kh, bh, dense, bw, sh=1, sw=s, thrw=0)
+    # traced weights are exempt — the jitted packed train path passes
+    # stack_taps_w-built tracers
+    jax.jit(lambda w: fused_pair(x, Kh, bh, w, bw, sh=1, sw=s,
+                                 thrw=thr))(Kw)
