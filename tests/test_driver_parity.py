@@ -99,8 +99,10 @@ def _torch_twin(datadir, tmodel, base_lr, num_epochs, *, enc=False,
                            betas=(0.9, 0.999), eps=1e-8, weight_decay=1e-4)
 
     def prep(images, labels):
+        # np.array copy: views of jax buffers are non-writable and torch
+        # warns when wrapping them
         x = torch.from_numpy(
-            np.asarray(images).transpose(0, 3, 1, 2)).float()
+            np.array(np.asarray(images).transpose(0, 3, 1, 2))).float()
         y = np.asarray(labels).astype(np.int64)
         if enc:
             y = y[:, 4::8, 4::8]
