@@ -45,6 +45,18 @@ def build_parser():
                         "uint8 frames (the ToTensor /255 runs inside the "
                         "exported program — 4x less host->device traffic "
                         "on the serving host)")
+    p.add_argument("--format", default="erfx", choices=("erfx", "torch"),
+                   help="erfx: self-contained jitted serving bundle "
+                        "(default).  torch: the reference's torch "
+                        "state_dict layout — a segmentation Net becomes "
+                        "a .pth loadable by the reference's "
+                        "eval_iou.py/load_my_state_dict, an ImageNet "
+                        "classifier becomes the .pth.tar "
+                        "save_checkpoint container (stage-2 "
+                        "--pretrainedEncoder handoff)")
+    p.add_argument("--module-prefix", action="store_true",
+                   help="torch format: prefix every key with 'module.' "
+                        "(a DataParallel-style save)")
     return p
 
 
@@ -64,6 +76,21 @@ def main(argv=None):
                                               args.loadWeights)
     print(f"Loading weights: {weights_path}")
     params, batch_stats = load_any_weights(weights_path)
+
+    if args.format == "torch":
+        from ..utils import torch_import
+        if "features" in params:  # ImageNet classifier -> .tar container
+            torch_import.save_torch_encoder_tar(args.output, params,
+                                                batch_stats)
+            print(f"Wrote {args.output}: reference imagenet "
+                  f"save_checkpoint container (module.features.encoder.*)")
+        else:
+            torch_import.save_torch_net(args.output, params, batch_stats,
+                                        module_prefix=args.module_prefix)
+            print(f"Wrote {args.output}: reference Net state_dict "
+                  f"({'module.' if args.module_prefix else ''}encoder.*/"
+                  f"decoder.*) — loadable by the reference eval scripts")
+        return None
 
     batches = [int(b) for b in args.batch_sizes.split(",") if b]
     xla = args.xla or args.cpu

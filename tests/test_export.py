@@ -178,3 +178,37 @@ def test_export_cli_end_to_end(tmp_path, net):
     sv = load_servable(out)
     x = jnp.zeros((1, 64, 128, 3))
     assert sv.predict(x).shape == (1, 64, 128)
+
+
+def test_export_cli_torch_format(tmp_path, net):
+    """--format torch: the CLI writes the reference's state_dict layout
+    from a native checkpoint (the one-command 'give my weights to the
+    reference's eval scripts' path, VERDICT r4 #4)."""
+    import torch
+
+    from erfnet_pytorch_tpu.cli import export_model
+    from erfnet_pytorch_tpu.training.checkpoint import save_weights
+    import torch_oracle as oracle
+
+    params, state = net
+    ckpt = str(tmp_path / "model_best.pth.native")
+    save_weights(ckpt, params, state)
+    out = str(tmp_path / "for_reference.pth")
+    export_model.main(["--state", ckpt, "--output", out,
+                       "--format", "torch"])
+    tmodel = oracle.Net(20)
+    res = tmodel.load_state_dict(
+        torch.load(out, map_location="cpu", weights_only=False),
+        strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+
+    # DataParallel-style save re-imports through our own shim
+    out2 = str(tmp_path / "dp.pth")
+    export_model.main(["--state", ckpt, "--output", out2,
+                       "--format", "torch", "--module-prefix"])
+    from erfnet_pytorch_tpu.utils import torch_import
+    sd = torch_import.load_torch_state_dict(out2)
+    p2, _s2 = torch_import.net_from_state_dict(sd)
+    np.testing.assert_array_equal(
+        np.asarray(p2["decoder"]["output_conv"]["w"]),
+        np.asarray(params["decoder"]["output_conv"]["w"]))
