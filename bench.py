@@ -33,10 +33,11 @@ BASELINE_FPS = 1000.0 / 24.0  # reference eval_forwardTime: ~24 ms @ 1024x512
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _STATIC_PATH = os.path.join(_REPO, "BENCH_STATIC.json")
-# files whose change can move the two statically-stamped numbers
+# files whose change can move the statically-stamped numbers (training/
+# covers the train step the train_device_ms_per_step stamp traces)
 _PERF_PATHS = ("erfnet_pytorch_tpu/ops", "erfnet_pytorch_tpu/inference.py",
                "erfnet_pytorch_tpu/streaming.py", "erfnet_pytorch_tpu/models",
-               "erfnet_pytorch_tpu/parallel")
+               "erfnet_pytorch_tpu/parallel", "erfnet_pytorch_tpu/training")
 
 
 def _git(*args):
@@ -300,6 +301,7 @@ def main():
                                    batch=args.streaming_batch)
         head = _git("rev-parse", "--short", "HEAD") or "unknown"
         today = datetime.date.today().isoformat()
+        prev_train = static.get("train_device_ms_per_step")
         static = {
             "latency_batch1_device_ms_per_img": {
                 "value": round(lat, 3), "commit": head, "date": today,
@@ -313,8 +315,16 @@ def main():
             static["train_device_ms_per_step"] = {
                 "value": round(tdev, 2), "commit": head, "date": today,
                 "how": "bench.py --full (profiler trace, TPU-plane "
-                       "busiest-line total / optimizer steps; batch 6, "
+                       "'XLA Ops' line total / optimizer steps; batch 6, "
                        "multi_step 2)"}
+        elif prev_train is not None:
+            # a failed trace (no xplane.pb / no TPU plane — tunnel
+            # hiccup) must not silently erase the stamp README cites;
+            # keep the old entry (its own _stale_since still applies)
+            print("bench.py: WARNING — device trace produced no TPU "
+                  "plane; keeping the previous train_device_ms_per_step "
+                  "stamp", file=sys.stderr)
+            static["train_device_ms_per_step"] = prev_train
         with open(_STATIC_PATH, "w") as f:
             json.dump(static, f, indent=1)
             f.write("\n")

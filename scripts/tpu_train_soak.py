@@ -33,11 +33,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STATE = "/tmp/soak_state.json"
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-RESULT = os.path.join(_REPO, "SOAK_TPU.json")
-DATA = "/tmp/soak_data"
-EPOCHS, KILL_AT = 25, 13
+
+# fixture scale: small maps, 150 steps, IoU on
+DEFAULTS = dict(height=64, epochs=25, kill_at=13, data="/tmp/soak_data",
+                result=os.path.join(_REPO, "SOAK_TPU.json"),
+                state="/tmp/soak_state.json", size=(128, 256),
+                savedir_full="/tmp/soak_full",
+                savedir_killed="/tmp/soak_killed")
 
 # --recipe (VERDICT r4 #5): the ACTUAL recipe shape — 512x1024 batch 6 —
 # for ~48 optimizer steps with the same kill/resume bit-equality proof.
@@ -53,16 +56,7 @@ _MODE = {"recipe": False}
 
 
 def _p(name):
-    if not _MODE["recipe"]:
-        return {"state": STATE, "result": RESULT, "data": DATA,
-                "epochs": EPOCHS, "kill_at": KILL_AT, "height": 64,
-                "size": (128, 256), "savedir_full": "/tmp/soak_full",
-                "savedir_killed": "/tmp/soak_killed"}[name]
-    return {"state": RECIPE["state"], "result": RECIPE["result"],
-            "data": RECIPE["data"], "epochs": RECIPE["epochs"],
-            "kill_at": RECIPE["kill_at"], "height": RECIPE["height"],
-            "size": RECIPE["size"], "savedir_full": RECIPE["savedir_full"],
-            "savedir_killed": RECIPE["savedir_killed"]}[name]
+    return (RECIPE if _MODE["recipe"] else DEFAULTS)[name]
 
 
 def make_data(root=None, n_train=36, n_val=12):

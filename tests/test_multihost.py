@@ -151,13 +151,28 @@ def test_real_two_process_distributed_step(fake_cityscapes, tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     outs = [str(tmp_path / f"host{i}.json") for i in range(2)]
+    # worker output goes to FILES, not pipes: a worker blocked on a full
+    # un-drained pipe inside a gloo collective would deadlock its peer
+    logf = [open(tmp_path / f"host{i}.log", "w+") for i in range(2)]
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(repo, "scripts", "multihost_worker.py"),
          "--root", fake_cityscapes, "--port", str(port), "--pid", str(i),
          "--out", outs[i]],
-        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=env, cwd=repo, stdout=logf[i], stderr=subprocess.STDOUT,
         text=True) for i in range(2)]
-    logs = [p.communicate(timeout=900)[0] for p in procs]
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    logs = []
+    for f in logf:
+        f.seek(0)
+        logs.append(f.read())
+        f.close()
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
     res = []
