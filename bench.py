@@ -268,6 +268,11 @@ def main():
     args = ap.parse_args()
 
     params, batch_stats = erfnet.init(jax.random.PRNGKey(0), 20)
+    # --full's b1-latency stamp runs FIRST: measured after the six infer
+    # builds + train step in the same process it reads ~10% high (0.894
+    # vs 0.811 fresh-process, r5 — the documented sequential-measurement
+    # order artifact), and the stamp must reflect the dedicated value
+    lat = measure_latency_b1(params, batch_stats) if args.full else None
     infer_b1 = measure_infer(params, batch_stats, 1, iters=30)
     infer_b8 = measure_infer(params, batch_stats, 8, iters=24)
     infer_b16 = measure_infer(params, batch_stats, 16, iters=24)
@@ -296,7 +301,6 @@ def main():
     # re-measures and refreshes the stamps at HEAD
     static = _load_static()
     if args.full:
-        lat = measure_latency_b1(params, batch_stats)
         stream = measure_streaming(params, batch_stats,
                                    batch=args.streaming_batch)
         head = _git("rev-parse", "--short", "HEAD") or "unknown"
@@ -305,7 +309,9 @@ def main():
         static = {
             "latency_batch1_device_ms_per_img": {
                 "value": round(lat, 3), "commit": head, "date": today,
-                "how": "bench.py --full (16 forwards chained in one jit)"},
+                "how": "bench.py --full (16 forwards chained in one jit; "
+                       "measured FIRST in the process — after the other "
+                       "builds it reads ~10% high, r5 order artifact)"},
             "streaming_1024x2048_device_ms_per_img": {
                 "value": round(stream, 3), "commit": head, "date": today,
                 "how": f"bench.py --full (device-only carry chain, "
