@@ -158,15 +158,25 @@ def _trace_device_ms(fn, dispatches, ksteps, logdir="/tmp/bench_prof_train"):
     float(c)  # host sync INSIDE the trace window
     jax.profiler.stop_trace()
 
-    sys.path.insert(0, os.path.join(_REPO, "scripts"))
-    from parse_xplane import fields, parse_plane, parse_events
-
     pbs = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                            recursive=True), key=os.path.getmtime)
     if not pbs:
         return None
+    best = _xplane_opline_ms(pbs[-1])
+    return best / (dispatches * ksteps) if best else None
+
+
+def _xplane_opline_ms(path):
+    """Total ms on the TPU device plane's serialized op-stream lines
+    ('XLA Ops'/'XLA Modules'/'Steps' — on the r5 trace all three agree
+    to 0.3%).  The 'Async XLA Ops' line is EXCLUDED: its copy-start
+    windows OVERLAP compute (r03 profile note — waits, not busy time)
+    and sum to ~9x the true span; host-side planes are excluded too."""
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    from parse_xplane import fields, parse_plane, parse_events
+
     best = 0.0
-    space = open(pbs[-1], "rb").read()
+    space = open(path, "rb").read()
     for fno, _wt, v in fields(space):
         if fno != 1:
             continue
@@ -175,14 +185,11 @@ def _trace_device_ms(fn, dispatches, ksteps, logdir="/tmp/bench_prof_train"):
             continue
         for lb in lines:
             lname, evs = parse_events(lb)
-            # the serialized op stream only: the 'Async XLA Ops' line's
-            # copy-start windows OVERLAP compute (r03 profile note —
-            # they are waits, not busy time) and sum to ~9x the span
             if lname not in ("XLA Ops", "XLA Modules", "Steps"):
                 continue
             tot = sum(d for _mid, d in evs) / 1e9  # ms (parse_xplane unit)
             best = max(best, tot)
-    return best / (dispatches * ksteps) if best else None
+    return best
 
 
 def measure_imagenet(batch_size=32, iters=10):

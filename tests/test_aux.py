@@ -320,3 +320,63 @@ def test_voc12_end_to_end_train_and_eval(fake_voc12_train):
     void_labels = jnp.full_like(jnp.asarray(labels), 255)
     l2, _p, _t = ev(ts, jnp.asarray(images), void_labels)
     assert np.isfinite(float(l2))
+
+
+def test_bench_xplane_opline_selection(tmp_path):
+    """bench._xplane_opline_ms must aggregate the TPU plane's serialized
+    op-stream line and IGNORE both the 'Async XLA Ops' line (overlapping
+    copy-start windows summed to ~9x the true span on the r5 trace — the
+    bug this pins) and host planes.  Synthetic XSpace in the exact wire
+    format scripts/parse_xplane.py reads."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_xplane_test",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    def varint(v):
+        out = b""
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out += bytes([b | 0x80])
+            else:
+                return out + bytes([b])
+
+    def field(fno, wt, payload):
+        key = varint(fno << 3 | wt)
+        if wt == 2:
+            return key + varint(len(payload)) + payload
+        return key + payload
+
+    def event(mid, dur):
+        return field(1, 0, varint(mid)) + field(3, 0, varint(dur))
+
+    def line(name, events):
+        buf = field(2, 2, name.encode())
+        for e in events:
+            buf += field(4, 2, e)
+        return buf
+
+    def plane(name, lines):
+        buf = field(2, 2, name.encode())
+        for ln in lines:
+            buf += field(3, 2, ln)
+        return buf
+
+    MS = 10 ** 9  # parse_xplane unit: dur/1e9 == ms
+    space = (
+        field(1, 2, plane("/device:TPU:0", [
+            line("XLA Ops", [event(1, 5 * MS)] * 4),          # 20 ms true
+            line("Async XLA Ops", [event(2, 100 * MS)] * 2),  # decoy 200 ms
+        ]))
+        + field(1, 2, plane("/host:CPU", [
+            line("python", [event(3, 1000 * MS)]),            # host decoy
+        ]))
+    )
+    pb = tmp_path / "t.xplane.pb"
+    pb.write_bytes(space)
+    assert bench._xplane_opline_ms(str(pb)) == pytest.approx(20.0)
